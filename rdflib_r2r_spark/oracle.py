@@ -1,0 +1,138 @@
+"""Generate ANSI/DuckDB SQL that reproduces the compiler's triple dump
+byte-for-byte — the oracle side of the driver's correctness gate.
+
+This is exactly the shape of the reference's legacy dump engine goldens
+(reference: docs/test-results/sqlite-rdb2rdf/R2RMLTC0000.md:7-15 — every
+triples-map becomes a ``SELECT s,p,o,g`` arm of a UNION ALL), regenerated
+from our mapping dataclasses so Spark plan and SQL text share one source of
+truth for templates, encoding, and NULL guards.
+
+For cross-engine byte parity, column term maps used in oracle-paired queries
+should set ``datatype`` explicitly and avoid float-typed columns (engine
+float->string rendering differs).
+"""
+
+from __future__ import annotations
+
+from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.mapping import TermMap, TriplesMap
+from rdflib_r2r_spark.templates import template_to_sql
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
+    ttype = tm.inferred_term_type(position)
+    dt = _sq(tm.datatype) if tm.datatype else "CAST(NULL AS VARCHAR)"
+    lang = _sq(tm.language) if tm.language else "CAST(NULL AS VARCHAR)"
+    null_s = "CAST(NULL AS VARCHAR)"
+
+    if tm.constant is not None:
+        if ttype == "IRI":
+            return _sq(terms.wrap_iri(tm.constant)), null_s, null_s
+        if ttype == "BlankNode":
+            return _sq("_:" + tm.constant), null_s, null_s
+        return _sq(tm.constant), dt, lang
+
+    if tm.column is not None:
+        col = f"CAST({qualify(tm.column)} AS VARCHAR)"
+        if ttype == "IRI":
+            return f"'<' || {col} || '>'", null_s, null_s
+        if ttype == "BlankNode":
+            return f"'_:' || {terms.iri_safe_sql(qualify(tm.column))}", null_s, null_s
+        return col, dt, lang
+
+    if tm.template is not None:
+        if ttype == "IRI":
+            return template_to_sql(tm.template, qualify, iri=True, wrap=True), null_s, null_s
+        if ttype == "BlankNode":
+            return (
+                "'_:' || " + template_to_sql(tm.template, qualify, iri=True, wrap=False),
+                null_s,
+                null_s,
+            )
+        return template_to_sql(tm.template, qualify, iri=False, wrap=False), dt, lang
+
+    raise ValueError(f"term map has no constant/column/template: {tm}")
+
+
+def _source_sql(tmap: TriplesMap, table_names: dict[str, str]) -> str:
+    if tmap.source.table is not None:
+        return table_names.get(tmap.source.table, _q(tmap.source.table))
+    return f"({tmap.source.sql_query})"
+
+
+def mapping_to_duckdb_sql(
+    tmaps: list[TriplesMap],
+    table_names: dict[str, str] | None = None,
+    with_graph: bool = True,
+) -> str:
+    """Full-dump UNION ALL SQL over all arms, same arm enumeration order as
+    ``SparkMappingCompiler.compile`` is irrelevant (driver compare is
+    order-insensitive), but the row SETS are identical."""
+    table_names = table_names or {}
+    by_name = {tm.name: tm for tm in tmaps}
+    null_s = "CAST(NULL AS VARCHAR)"
+    arms: list[str] = []
+
+    def graph_terms(tmap, pom):
+        graphs = tuple(pom.graphs) + tuple(tmap.subject_map.graphs)
+        return list(graphs) if graphs else [None]
+
+    for tmap in tmaps:
+        src = _source_sql(tmap, table_names)
+        qc = lambda c: f"c.{_q(c)}"  # noqa: E731
+
+        def scan_arm(subj_sql, pred_sql, obj_sql, dt_sql, lang_sql, g_sql, from_sql):
+            arms.append(
+                f"SELECT {subj_sql} AS subj, {pred_sql} AS pred, {obj_sql} AS obj, "
+                f"{dt_sql} AS obj_dt, {lang_sql} AS obj_lang"
+                + (f", {g_sql} AS graph" if with_graph else "")
+                + f" FROM {from_sql}"
+                f" WHERE ({subj_sql}) IS NOT NULL AND ({obj_sql}) IS NOT NULL"
+            )
+
+        subj_sql, _, _ = term_sql(tmap.subject_map, "S", qc)
+        for cls in tmap.subject_map.classes:
+            scan_arm(
+                subj_sql,
+                _sq(terms.wrap_iri(terms.RDF_TYPE)),
+                _sq(terms.wrap_iri(cls)),
+                null_s,
+                null_s,
+                null_s,
+                f"{src} c",
+            )
+        for pom in tmap.pomaps:
+            for pred in pom.predicates:
+                pred_sql, _, _ = term_sql(pred, "P", qc)
+                for obj in pom.objects:
+                    for g in graph_terms(tmap, pom):
+                        g_sql = term_sql(g, "G", qc)[0] if g is not None else null_s
+                        if obj.parent_triples_map is not None:
+                            parent = by_name[obj.parent_triples_map]
+                            psrc = _source_sql(parent, table_names)
+                            qp = lambda c: f"p.{_q(c)}"  # noqa: E731
+                            obj_sql, _, _ = term_sql(parent.subject_map, "S", qp)
+                            if obj.join_conditions:
+                                cond = " AND ".join(
+                                    f"c.{_q(jc.child)} = p.{_q(jc.parent)}"
+                                    for jc in obj.join_conditions
+                                )
+                                from_sql = f"{src} c JOIN {psrc} p ON {cond}"
+                            else:
+                                # same logical table, same row
+                                obj_sql, _, _ = term_sql(parent.subject_map, "S", qc)
+                                from_sql = f"{src} c"
+                            scan_arm(subj_sql, pred_sql, obj_sql, null_s, null_s, g_sql, from_sql)
+                        else:
+                            obj_sql, dt_sql, lang_sql = term_sql(obj, "O", qc)
+                            scan_arm(subj_sql, pred_sql, obj_sql, dt_sql, lang_sql, g_sql, f"{src} c")
+
+    return "\nUNION ALL\n".join(arms)
