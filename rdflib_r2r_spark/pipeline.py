@@ -1,0 +1,237 @@
+"""End-to-end KG-construction pipeline with per-stage checkpoint-resume and
+per-partition lineage (north_rule: "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Stage graph (each stage = parquet dir + manifest + lineage rows):
+
+    documents ─> pages ─> extracted ─┬─> base_triples (R2RML mapping compile)
+                                     ├─> alias_dict ─> mentions ─> mention_triples
+                                     └─> edges (MinHash-LSH) ─> canon ─> sameas_triples
+    triples = union(...) ─> bucketed write by subject hash
+
+Resume contract: a stage whose manifest fingerprint (input fingerprint +
+stage version + params) matches on disk is NOT recomputed — its parquet is
+read back. Fingerprints chain, so changing any upstream stage or parameter
+invalidates everything downstream. Lineage rows record (stage, output file,
+row count, fingerprint, wall seconds) per output partition file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.compiler import SparkMappingCompiler
+from rdflib_r2r_spark.mapping import (
+    LogicalSource,
+    PredicateObjectMap,
+    SubjectMap,
+    TermMap,
+    TriplesMap,
+    const_iri,
+)
+from rdflib_r2r_spark.web import components, linking, mentions as men, pages as pg
+from rdflib_r2r_spark.web.extract import EXTRACTOR_VERSION, extract_text
+
+PIPELINE_VERSION = "1"
+EX = "http://ex.org/"
+
+
+def pages_triples_map() -> TriplesMap:
+    """The R2RML generalization: the web-pages table is the logical source;
+    subject = url-template IRI (SURVEY.md §0 'key insight')."""
+    return TriplesMap(
+        name="pages",
+        source=LogicalSource(table="pages"),
+        # rr:column + rr:termType rr:IRI: the url column IS the subject IRI
+        # (a template slot would percent-encode it, per R2RML).
+        subject_map=SubjectMap(column="url", term_type="IRI", classes=(EX + "Document",)),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "lang"),),
+                objects=(TermMap(column="lang"),),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "fetched"),),
+                objects=(TermMap(column="warc_ts", datatype=terms.XSD_DATETIME),),
+            ),
+        ),
+    )
+
+
+@dataclass
+class StageResult:
+    name: str
+    path: str
+    fingerprint: str
+    resumed: bool
+    seconds: float
+    rows: int | None = None
+
+
+@dataclass
+class KGPipeline:
+    spark: SparkSession
+    sf_dir: str
+    workdir: str
+    num_buckets: int = 64
+    dict_size: int = 24
+    num_hashes: int = 8
+    band_rows: int = 2
+    threshold: float = 0.5
+    resume: bool = True
+    count_rows: bool = True
+    results: dict[str, StageResult] = field(default_factory=dict)
+
+    # -- checkpoint/lineage machinery ----------------------------------------
+
+    def _input_fingerprint(self) -> str:
+        p = os.path.join(self.sf_dir, "documents.parquet")
+        st = os.stat(p)
+        return hashlib.sha256(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
+
+    def _params(self) -> dict:
+        return {
+            "pipeline_version": PIPELINE_VERSION,
+            "extractor_version": EXTRACTOR_VERSION,
+            "num_buckets": self.num_buckets,
+            "dict_size": self.dict_size,
+            "num_hashes": self.num_hashes,
+            "band_rows": self.band_rows,
+            "threshold": self.threshold,
+        }
+
+    def _fingerprint(self, name: str, upstream: list[str]) -> str:
+        payload = json.dumps(
+            {
+                "input": self._input_fingerprint(),
+                "params": self._params(),
+                "stage": name,
+                "upstream": [self.results[u].fingerprint for u in upstream],
+            },
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.workdir, "_manifests", f"{name}.json")
+
+    def stage(self, name: str, upstream: list[str], compute, partition_by: str | None = None) -> DataFrame:
+        """Run-or-resume one stage; persist parquet + manifest + lineage."""
+        fp = self._fingerprint(name, upstream)
+        path = os.path.join(self.workdir, name)
+        mpath = self._manifest_path(name)
+        t0 = time.time()
+        if self.resume and os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("fingerprint") == fp:
+                self.results[name] = StageResult(name, path, fp, True, time.time() - t0,
+                                                 manifest.get("rows"))
+                return self.spark.read.parquet(path)
+
+        df = compute()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(path)
+
+        out = self.spark.read.parquet(path)
+        lineage = (
+            out.withColumn("file", F.input_file_name())
+            .groupBy("file")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .withColumn("fingerprint", F.lit(fp))
+            .withColumn("wall_seconds", F.lit(time.time() - t0))
+        )
+        lpath = os.path.join(self.workdir, "_lineage", name)
+        lineage.write.mode("overwrite").parquet(lpath)
+        rows = None
+        if self.count_rows:
+            lrows = self.spark.read.parquet(lpath).agg(F.sum("rows")).collect()[0][0]
+            rows = int(lrows or 0)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        with open(mpath, "w") as f:
+            json.dump({"fingerprint": fp, "rows": rows, "params": self._params(),
+                       "wall_seconds": time.time() - t0}, f)
+        self.results[name] = StageResult(name, path, fp, False, time.time() - t0, rows)
+        return out
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.workdir, "_lineage", "*"))
+
+    # -- stages ---------------------------------------------------------------
+
+    def run(self) -> DataFrame:
+        spark = self.spark
+        docs = spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+
+        pages = self.stage("pages", [], lambda: pg.pages_from_documents(docs))
+
+        extracted = self.stage(
+            "extracted",
+            ["pages"],
+            lambda: pages.select(
+                "url", "warc_ts", "lang", extract_text(F.col("html")).alias("text")
+            ),
+        )
+
+        base_triples = self.stage(
+            "base_triples",
+            ["extracted"],
+            lambda: SparkMappingCompiler(spark, {"pages": extracted}).compile([pages_triples_map()]),
+        )
+
+        alias_dict = self.stage(
+            "alias_dict",
+            ["extracted"],
+            lambda: men.build_alias_dict(extracted, size=self.dict_size),
+        )
+
+        mention_rows = self.stage(
+            "mentions",
+            ["extracted", "alias_dict"],
+            lambda: men.detect_mentions(extracted, alias_dict),
+        )
+
+        edges = self.stage(
+            "edges",
+            ["extracted"],
+            lambda: linking.near_dup_edges(
+                extracted, num_hashes=self.num_hashes,
+                band_rows=self.band_rows, threshold=self.threshold,
+            ),
+        )
+
+        canon = self.stage(
+            "canon",
+            ["edges"],
+            lambda: components.canonical_map(edges),
+        )
+
+        def build_triples() -> DataFrame:
+            mt = men.mention_triples(mention_rows)
+            same = canon.select(
+                F.concat(F.lit("<"), F.col("node"), F.lit(">")).alias("subj"),
+                F.lit(f"<{EX}duplicateOf>").alias("pred"),
+                F.concat(F.lit("<"), F.col("canonical"), F.lit(">")).alias("obj"),
+                F.lit(None).cast("string").alias("obj_dt"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("graph"),
+            )
+            allt = base_triples.unionByName(mt).unionByName(same)
+            return allt.withColumn(
+                "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(self.num_buckets))
+            )
+
+        triples = self.stage("triples", ["base_triples", "mentions", "canon"],
+                             build_triples, partition_by="subj_bucket")
+        return triples

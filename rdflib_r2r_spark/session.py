@@ -6,8 +6,20 @@ stages), explicit shuffle-partition sizing.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Python workers (pandas UDFs) are separate processes: they need this package
+# importable regardless of the driver's cwd/sys.path. On a cluster the same
+# is achieved with spark-submit --py-files of the packaged zip.
+_REPO_ROOT = str(Path(__file__).resolve().parents[1])
+
+
+def _ensure_pythonpath() -> None:
+    pp = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pp + os.pathsep if pp else "") + _REPO_ROOT
 
 
 def get_spark(
@@ -22,6 +34,7 @@ def get_spark(
     just adds task overhead; on a real cluster the caller sizes this to
     2-3x total cores).
     """
+    _ensure_pythonpath()
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
