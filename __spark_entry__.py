@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction dump at sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (relational layer A1-A13, expression layer E1-E18, mapping
+layer B1-B10 exercised through the kg_* queries) plus the training-data
+operators (dedup family, text analysis, ANN, multimodal plumbing).
+
+Cross-engine parity rules used throughout:
+- every computed column aliased identically on both sides;
+- float aggregates go through exact decimal sums then cast to double
+  (double-sum order differs between engines; decimal addition is exact);
+- minhash/fingerprints use md5 (identical in Spark, DuckDB, Python).
 """
 
 from __future__ import annotations
@@ -12,27 +18,811 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.compiler import SparkMappingCompiler
+from rdflib_r2r_spark.mapping import (
+    JoinCondition,
+    LogicalSource,
+    PredicateObjectMap,
+    SubjectMap,
+    TermMap,
+    TriplesMap,
+    const_iri,
+    direct_mapping,
+)
+from rdflib_r2r_spark.operators import dedup, multimodal, similarity, textstats
+from rdflib_r2r_spark.oracle import mapping_to_duckdb_sql
+from rdflib_r2r_spark.templates import invert_template_py
+from rdflib_r2r_spark.terms import iri_unsafe_py
+from rdflib_r2r_spark.web import linking, mentions as men, pages as pg
+from rdflib_r2r_spark.web.extract import extract_text
+
+SF1 = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, scale: int = 4):
+    """Exact decimal sum rendered as double — engine-order-independent."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# KG mapping fixtures over the TPC-H-ish tables (mapping layer B1-B10)
+# --------------------------------------------------------------------------
+
+EX = "http://ex.org/"
+
+
+def geo_tmaps() -> list[TriplesMap]:
+    """nation/region mapping: templates, typed literals, rdf:type arms and a
+    referencing-object map (nation -> region join on raw keys)."""
+    region = TriplesMap(
+        name="region",
+        source=LogicalSource(table="region"),
+        subject_map=SubjectMap(template=EX + "region/{r_regionkey}", classes=(EX + "Region",)),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "name"),),
+                objects=(TermMap(column="r_name"),),
+            ),
+        ),
+    )
+    nation = TriplesMap(
+        name="nation",
+        source=LogicalSource(table="nation"),
+        subject_map=SubjectMap(template=EX + "nation/{n_nationkey}", classes=(EX + "Nation",)),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "name"),),
+                objects=(TermMap(column="n_name"),),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "nationkey"),),
+                objects=(TermMap(column="n_nationkey", datatype=terms.XSD_INTEGER),),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "inRegion"),),
+                objects=(
+                    TermMap(
+                        parent_triples_map="region",
+                        join_conditions=(JoinCondition(child="n_regionkey", parent="r_regionkey"),),
+                    ),
+                ),
+            ),
+        ),
+    )
+    return [nation, region]
+
+
+def orders_tmap() -> TriplesMap:
+    return TriplesMap(
+        name="orders",
+        source=LogicalSource(table="orders"),
+        subject_map=SubjectMap(template=EX + "orders/{o_orderkey}", classes=(EX + "Order",)),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "orderkey"),),
+                objects=(TermMap(column="o_orderkey", datatype=terms.XSD_INTEGER),),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "status"),),
+                objects=(TermMap(column="o_orderstatus"),),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "priority"),),
+                objects=(TermMap(column="o_orderpriority"),),
+            ),
+        ),
+    )
+
+
+LOOKUP_ORDERKEY = 1317
+
+
+def _subject_lookup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-inversion constant pushdown (reference:
+    rdflib_r2r/sql_converter.py:148-161; conversion_utils.py:517-531): the
+    concrete subject IRI is inverted against the template and becomes a
+    typed filter on the raw key column BEFORE compilation — the parquet scan
+    sees `o_orderkey = N`, never a concat comparison."""
+    tmap = orders_tmap()
+    iri = f"{EX}orders/{LOOKUP_ORDERKEY}"
+    binding = invert_template_py(iri, tmap.subject_map.template)
+    src = _t(spark, sf_dir, "orders")
+    for col, raw in binding.items():
+        typed = F.lit(iri_unsafe_py(raw)).cast(src.schema[col].dataType)
+        src = src.filter(F.col(col) == typed)
+    comp = SparkMappingCompiler(spark, {"orders": src})
+    return comp.compile([tmap])
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pages = pg.pages_from_documents(docs)
+    return pages.select(
+        "url", "warc_ts", "lang", extract_text(F.col("html")).alias("text")
+    )
+
+
+def _docs_pages_sql() -> str:
+    """DuckDB twin of pages_from_documents + extraction (extraction is the
+    wrapper's exact inverse, so text passes through)."""
+    return (
+        "SELECT 'http://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url, "
+        "TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts, "
+        "lang, text FROM documents"
+    )
+
+
+def pages_tmaps() -> list[TriplesMap]:
+    from rdflib_r2r_spark.pipeline import pages_triples_map
+
+    return [pages_triples_map()]
+
+
+# --------------------------------------------------------------------------
+# queries()
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG dump over web pages (HTML->text UDF + mapping compile)
+    plus mention triples, at sf0.001."""
+    pages = _pages_df(spark, SF1)
+    base = SparkMappingCompiler(spark, {"pages": pages}).compile(pages_tmaps())
+    adict = men.build_alias_dict(pages)
+    mt = men.mention_triples(men.detect_mentions(pages, adict))
+    return base.unionByName(mt)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- mapping layer (B1-B10, A1) ----
+    def kg_dump_geo(spark, sf):
+        comp = SparkMappingCompiler(
+            spark, {n: _t(spark, sf, n) for n in ("nation", "region")}
+        )
+        return comp.compile(geo_tmaps())
 
+    q["kg_dump_geo"] = kg_dump_geo
+
+    def kg_direct_mapping(spark, sf):
+        comp = SparkMappingCompiler(
+            spark, {"supplier": _t(spark, sf, "supplier"), "nation": _t(spark, sf, "nation")}
+        )
+        return comp.compile(_direct_tmaps())
+
+    q["kg_direct_mapping"] = kg_direct_mapping
+
+    q["kg_subject_lookup"] = _subject_lookup_df
+
+    def kg_dump_pages(spark, sf):
+        pages = _pages_df(spark, sf)
+        return SparkMappingCompiler(spark, {"pages": pages}).compile(pages_tmaps())
+
+    q["kg_dump_pages"] = kg_dump_pages
+
+    def kg_mentions(spark, sf):
+        pages = _pages_df(spark, sf)
+        adict = men.build_alias_dict(pages)
+        return men.mention_triples(men.detect_mentions(pages, adict))
+
+    q["kg_mentions"] = kg_mentions
+
+    def kg_alias_dict(spark, sf):
+        return men.build_alias_dict(_pages_df(spark, sf)).select(
+            "alias", "entity_id", F.round("prior", 9).alias("prior")
+        )
+
+    q["kg_alias_dict"] = kg_alias_dict
+
+    # ---- relational operators (A2-A13) ----
+    def q_filter_project(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.filter(
+            (F.col("l_shipdate") < "1996-06-01") & (F.col("l_quantity") > 45)
+        ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+    q["q_filter_project"] = q_filter_project
+
+    def q_extend_bind(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            (F.col("l_quantity") >= 25).alias("bulk"),
+        )
+
+    q["q_extend_bind"] = q_extend_bind
+
+    def q_join_inner(spark, sf):
+        o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"], "inner")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("o_orderkey", "c_name", "o_orderstatus")
+        )
+
+    q["q_join_inner"] = q_join_inner
+
+    def q_left_join(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+            .groupBy("c_custkey", "c_name")
+            .agg(F.count("o_orderkey").alias("n_orders"))
+        )
+
+    q["q_left_join"] = q_left_join
+
+    def q_union_align(spark, sf):
+        c = _t(spark, sf, "customer").select(
+            F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal")
+        )
+        s = _t(spark, sf, "supplier").select(F.col("s_name").alias("name"))
+        return c.unionByName(s, allowMissingColumns=True)
+
+    q["q_union_align"] = q_union_align
+
+    def q_minus(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        with_urgent = c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_semi")
+        return c.select("c_custkey", "c_name").exceptAll(
+            with_urgent.select("c_custkey", "c_name")
+        )
+
+    q["q_minus"] = q_minus
+
+    def q_group_having(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        g = li.groupBy("l_returnflag", "l_linestatus").agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return g.filter(F.col("n") > 100)
+
+    q["q_group_having"] = q_group_having
+
+    def q_orderby_slice(spark, sf):
+        o = _t(spark, sf, "orders")
+        return (
+            o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .select("o_orderkey", "o_totalprice")
+            .offset(5)
+            .limit(20)
+        )
+
+    q["q_orderby_slice"] = q_orderby_slice
+
+    def q_distinct(spark, sf):
+        return _t(spark, sf, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+    q["q_distinct"] = q_distinct
+
+    def q_values_join(spark, sf):
+        o = _t(spark, sf, "orders")
+        v = spark.createDataFrame(
+            [("1-URGENT", 1), ("2-HIGH", 2)], "prio string, prio_rank int"
+        )
+        return (
+            o.join(v, o["o_orderpriority"] == v["prio"], "inner")
+            .groupBy("prio", "prio_rank")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q_values_join"] = q_values_join
+
+    def q_agg_suite(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+            (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+            F.min("l_shipdate").cast("string").alias("first_ship"),
+            F.max("l_shipdate").cast("string").alias("last_ship"),
+            F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        )
+
+    q["q_agg_suite"] = q_agg_suite
+
+    def q_expr_suite(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_returnflag") == "R", "returned")
+            .when(F.col("l_returnflag") == "A", "accepted")
+            .otherwise("other")
+            .alias("flag_name"),
+            F.col("l_linestatus").isin("O", "F").alias("status_known"),
+            ((F.col("l_quantity") * 2 + 1 - F.col("l_linenumber")) / 4.0).alias("arith"),
+            (~(F.col("l_discount") > 0.05)).alias("low_disc"),
+            F.col("l_shipdate").isNotNull().alias("bound_ship"),
+            F.coalesce(F.col("l_tax"), F.lit(0.0)).alias("tax0"),
+            F.col("l_quantity").cast("int").alias("qty_int"),
+            F.col("l_quantity").cast("string").alias("qty_str"),
+            (-F.col("l_discount")).alias("neg_disc"),
+        )
+
+    q["q_expr_suite"] = q_expr_suite
+
+    def q_regex(spark, sf):
+        p = _t(spark, sf, "part")
+        return p.filter(F.col("p_name").rlike("(green|blue)")).select(
+            "p_partkey", "p_name"
+        )
+
+    q["q_regex"] = q_regex
+
+    def q_exists_semijoin(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        big = o.filter(F.col("o_totalprice") > 100000)
+        return c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi").select(
+            "c_custkey", "c_name"
+        )
+
+    q["q_exists_semijoin"] = q_exists_semijoin
+
+    def q_notexists_antijoin(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+        return c.join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    q["q_notexists_antijoin"] = q_notexists_antijoin
+
+    def q_subquery_topn(spark, sf):
+        c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        spend = (
+            o.groupBy("o_custkey")
+            .agg(_dsum(F.col("o_totalprice"), 2).alias("total_spend"))
+        )
+        j = c.join(spend, c["c_custkey"] == spend["o_custkey"], "inner")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.desc("total_spend"), F.asc("c_custkey")
+        )
+        return (
+            j.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("c_nationkey", "c_custkey", "c_name", "total_spend")
+        )
+
+    q["q_subquery_topn"] = q_subquery_topn
+
+    def q_sqlf_functions(spark, sf):
+        # sqlf: escape hatch (E9): arbitrary SQL function by name
+        c = _t(spark, sf, "customer")
+        return c.select(
+            "c_custkey",
+            F.expr("upper(c_name)").alias("uname"),
+            F.expr("length(c_name)").cast("bigint").alias("name_len"),
+            F.expr("substring(c_name, 1, 5)").alias("name5"),
+            F.expr("abs(c_acctbal)").alias("abs_bal"),
+        )
+
+    q["q_sqlf_functions"] = q_sqlf_functions
+
+    def q_window_session(spark, sf):
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        sess = ev.withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        return sess.groupBy("user_id").agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    q["q_window_session"] = q_window_session
+
+    def q_json_extract(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+
+    q["q_json_extract"] = q_json_extract
+
+    # ---- TPC-H classics (bench headliners) ----
+    def q_tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+                _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+                _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("sum_disc_price"),
+                _dsum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+                ).alias("sum_charge"),
+                (_dsum(F.col("l_quantity"), 2) / F.count(F.lit(1))).alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    q["q_tpch_q1"] = q_tpch_q1
+
+    def q_tpch_q3(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+        j = c.join(o, c["c_custkey"] == o["o_custkey"]).join(
+            li, o["o_orderkey"] == li["l_orderkey"]
+        )
+        g = j.groupBy("o_orderkey").agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+        )
+        return g.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+    q["q_tpch_q3"] = q_tpch_q3
+
+    def q_tpch_q5(spark, sf):
+        r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        j = (
+            r.join(n, r["r_regionkey"] == n["n_regionkey"])
+            .join(c, n["n_nationkey"] == c["c_nationkey"])
+            .join(o, c["c_custkey"] == o["o_custkey"])
+            .join(li, o["o_orderkey"] == li["l_orderkey"])
+            .join(
+                s,
+                (li["l_suppkey"] == s["s_suppkey"])
+                & (s["s_nationkey"] == n["n_nationkey"]),
+            )
+        )
+        return j.groupBy("n_name").agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+        )
+
+    q["q_tpch_q5"] = q_tpch_q5
+
+    # ---- training-data operators ----
+    def dedup_exact(spark, sf):
+        # prefix-64 dedup: the corpus has near-dups sharing long prefixes
+        return dedup.exact_dup_groups(_t(spark, sf, "documents"), prefix=64)
+
+    q["dedup_exact"] = dedup_exact
+
+    def dedup_minhash_sig(spark, sf):
+        return dedup.minhash_signatures(_t(spark, sf, "documents"))
+
+    q["dedup_minhash_sig"] = dedup_minhash_sig
+
+    def dedup_lsh_pairs(spark, sf):
+        return dedup.lsh_dup_pairs(_t(spark, sf, "documents"))
+
+    q["dedup_lsh_pairs"] = dedup_lsh_pairs
+
+    def dedup_simhash(spark, sf):
+        return dedup.simhash(_t(spark, sf, "documents"))
+
+    q["dedup_simhash"] = dedup_simhash
+
+    def dedup_ngram_jaccard(spark, sf):
+        docs = _t(spark, sf, "documents")
+        pairs = dedup.lsh_dup_pairs(docs).select("a", "b")
+        return dedup.ngram_jaccard_pairs(docs, pairs)
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def q_text_stats(spark, sf):
+        return textstats.text_stats(_t(spark, sf, "documents"))
+
+    q["q_text_stats"] = q_text_stats
+
+    def q_lang_id(spark, sf):
+        return textstats.lang_id(_t(spark, sf, "documents"))
+
+    q["q_lang_id"] = q_lang_id
+
+    ANN_PROBES = [1, 7, 42]
+
+    def ann_cosine_topk(spark, sf):
+        return similarity.brute_force_topk(_t(spark, sf, "embeddings"), ANN_PROBES, k=5)
+
+    q["ann_cosine_topk"] = ann_cosine_topk
+
+    def ann_lsh_topk(spark, sf):
+        return similarity.ann_lsh_topk(_t(spark, sf, "embeddings"), ANN_PROBES, k=5)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def mm_image_meta(spark, sf):
+        docs = multimodal.attach_fake_images(_t(spark, sf, "documents"))
+        return multimodal.decode_image_meta(docs)
+
+    q["mm_image_meta"] = mm_image_meta
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle_sql()
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["kg_dump_geo"] = mapping_to_duckdb_sql(geo_tmaps())
+
+    o["kg_direct_mapping"] = mapping_to_duckdb_sql(_direct_tmaps())
+
+    o["kg_subject_lookup"] = (
+        "SELECT * FROM (" + mapping_to_duckdb_sql([orders_tmap()]) + ") "
+        f"WHERE subj = '<{EX}orders/{LOOKUP_ORDERKEY}>'"
+    )
+
+    o["kg_dump_pages"] = (
+        "WITH pages AS (" + _docs_pages_sql() + ") "
+        + mapping_to_duckdb_sql(pages_tmaps(), table_names={"pages": "pages"})
+    )
+
+    toks = textstats.tokens_sql("text")
+    alias_cte = f"""
+WITH pages AS ({_docs_pages_sql()}),
+tok AS (
+  SELECT url, t.tok AS tok
+  FROM pages, LATERAL unnest({toks}) AS t(tok)
+  WHERE t.tok <> ''
+),
+counts AS (
+  SELECT tok, count(*) AS cnt FROM tok WHERE length(tok) >= {men.MIN_ALIAS_LEN}
+  GROUP BY tok
+),
+ranked AS (
+  SELECT tok AS alias, CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS entity_id,
+         cnt, CAST(sum(cnt) OVER () AS DOUBLE) AS total
+  FROM counts
+),
+adict AS (
+  SELECT alias, entity_id, cnt / total AS prior FROM ranked WHERE entity_id <= {men.DEFAULT_DICT_SIZE}
+)"""
+    o["kg_alias_dict"] = alias_cte + "\nSELECT alias, entity_id, round(prior, 9) AS prior FROM adict"
+
+    o["kg_mentions"] = alias_cte + """
+SELECT DISTINCT '<' || tok.url || '>' AS subj,
+       '<http://ex.org/mentions>' AS pred,
+       '<http://ex.org/entity/' || CAST(adict.entity_id AS VARCHAR) || '>' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt,
+       CAST(NULL AS VARCHAR) AS obj_lang,
+       CAST(NULL AS VARCHAR) AS graph
+FROM tok JOIN adict ON tok.tok = adict.alias
+"""
+
+    o["q_filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_shipdate < '1996-06-01' AND l_quantity > 45
+"""
+
+    o["q_extend_bind"] = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+       l_quantity >= 25 AS bulk
+FROM lineitem
+"""
+
+    o["q_join_inner"] = """
+SELECT o_orderkey, c_name, o_orderstatus
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+    o["q_left_join"] = """
+SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+    o["q_union_align"] = """
+SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+UNION ALL
+SELECT s_name AS name, CAST(NULL AS DOUBLE) AS acctbal FROM supplier
+"""
+
+    o["q_minus"] = """
+SELECT c_custkey, c_name FROM customer
+EXCEPT ALL
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+    o["q_group_having"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity', 2)} AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY 1, 2 HAVING count(*) > 100
+"""
+
+    o["q_orderby_slice"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 5
+"""
+
+    o["q_distinct"] = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+    o["q_values_join"] = """
+SELECT prio, prio_rank, CAST(count(*) AS BIGINT) AS n
+FROM orders JOIN (VALUES ('1-URGENT', 1), ('2-HIGH', 2)) AS v(prio, prio_rank)
+  ON o_orderpriority = v.prio
+GROUP BY prio, prio_rank
+"""
+
+    o["q_agg_suite"] = f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       {_dsum_sql('l_extendedprice', 2)} AS sum_price,
+       {_dsum_sql('l_quantity', 2)} / count(*) AS avg_qty,
+       CAST(min(l_shipdate) AS VARCHAR) AS first_ship,
+       CAST(max(l_shipdate) AS VARCHAR) AS last_ship,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    o["q_expr_suite"] = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_returnflag = 'A' THEN 'accepted'
+            ELSE 'other' END AS flag_name,
+       l_linestatus IN ('O', 'F') AS status_known,
+       (l_quantity * 2 + 1 - l_linenumber) / 4.0 AS arith,
+       NOT (l_discount > 0.05) AS low_disc,
+       l_shipdate IS NOT NULL AS bound_ship,
+       coalesce(l_tax, 0.0) AS tax0,
+       CAST(l_quantity AS INT) AS qty_int,
+       CAST(l_quantity AS VARCHAR) AS qty_str,
+       -l_discount AS neg_disc
+FROM lineitem
+"""
+
+    o["q_regex"] = (
+        "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '(green|blue)')"
+    )
+
+    o["q_exists_semijoin"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+"""
+
+    o["q_notexists_antijoin"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+"""
+
+    o["q_subquery_topn"] = f"""
+WITH spend AS (
+  SELECT o_custkey, {_dsum_sql('o_totalprice', 2)} AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_nationkey, c_custkey, c_name, total_spend
+FROM customer JOIN spend ON c_custkey = o_custkey
+QUALIFY row_number() OVER (PARTITION BY c_nationkey ORDER BY total_spend DESC, c_custkey ASC) = 1
+"""
+
+    o["q_sqlf_functions"] = """
+SELECT c_custkey, upper(c_name) AS uname,
+       CAST(length(c_name) AS BIGINT) AS name_len,
+       substring(c_name, 1, 5) AS name5, abs(c_acctbal) AS abs_bal
+FROM customer
+"""
+
+    o["q_window_session"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) IS NULL
+               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id
+"""
+
+    o["q_json_extract"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+    o["q_tpch_q1"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql('l_quantity', 2)} AS sum_qty,
+       {_dsum_sql('l_extendedprice', 2)} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {_dsum_sql('l_quantity', 2)} / count(*) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    o["q_tpch_q3"] = f"""
+SELECT o_orderkey, {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+    o["q_tpch_q5"] = f"""
+SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+    o["dedup_exact"] = dedup.exact_dup_groups_sql(prefix=64)
+    o["dedup_minhash_sig"] = dedup.minhash_signatures_sql()
+    o["dedup_lsh_pairs"] = dedup.lsh_dup_pairs_sql()
+    o["dedup_simhash"] = dedup.simhash_sql()
+    o["q_text_stats"] = textstats.text_stats_sql()
+    o["q_lang_id"] = textstats.lang_id_sql()
+    o["ann_cosine_topk"] = similarity.brute_force_topk_sql([1, 7, 42], k=5)
+    # ann_lsh_topk, mm_image_meta, dedup_ngram_jaccard: no SQL oracle
+    # (LSH hyperplanes / mapInPandas / candidate-dependence) -> rows-only.
+    return o
+
+
+def _direct_tmaps():
+    """Direct mapping over supplier/nation from their static schemas
+    (TESTDATA.md is fixed), shared by query and oracle sides; needs no
+    SparkSession."""
+    from pyspark.sql import types as T
+
+    schemas = {
+        "supplier": T.StructType(
+            [
+                T.StructField("s_suppkey", T.LongType()),
+                T.StructField("s_name", T.StringType()),
+                T.StructField("s_nationkey", T.IntegerType()),
+                T.StructField("s_acctbal", T.DoubleType()),
+            ]
+        ),
+        "nation": T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        ),
+    }
+    return direct_mapping(
+        schemas,
+        primary_keys={"supplier": ["s_suppkey"], "nation": ["n_nationkey"]},
+        foreign_keys={"supplier": [(["s_nationkey"], "nation", ["n_nationkey"])]},
+    )

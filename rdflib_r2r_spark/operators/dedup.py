@@ -1,0 +1,233 @@
+"""Deduplication family for training-data curation.
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle on a short
+  hash, map-side partial agg for free);
+- minhash-LSH near-dup: reuses web.linking (per-row signatures, band join);
+- simhash: 32-bit majority-vote signature from token md5s, hamming buckets;
+- n-gram Jaccard: exact verification on LSH candidates only (never O(n^2)).
+
+Each operator has a DuckDB-SQL twin (window lead() builds shingles SQL-side)
+so the driver's oracle compares real values, not just row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdflib_r2r_spark.operators.textstats import TOKEN_SPLIT_RE, tokens_col, tokens_sql
+from rdflib_r2r_spark.web import linking
+
+SHINGLE_K = linking.SHINGLE_K
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+                     prefix: int | None = None) -> DataFrame:
+    """(fingerprint, n_dups, keep) for every duplicated normalized text;
+    keep = min key (the canonical survivor). ``prefix`` fingerprints only the
+    leading N chars (prefix dedup, for boilerplate/lead-para duplicates)."""
+    base = F.substring(F.col(text_col), 1, prefix) if prefix else F.col(text_col)
+    fp = F.md5(F.concat_ws(" ", tokens_col(base)))
+    return (
+        docs.select(F.col(key_col).alias("key"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("key").alias("keep"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dup_groups_sql(table: str = "documents", text_col: str = "text", key_col: str = "doc_id",
+                         prefix: int | None = None) -> str:
+    base = f"substring({text_col}, 1, {prefix})" if prefix else text_col
+    toks = tokens_sql(base)
+    return f"""
+SELECT md5(array_to_string({toks}, ' ')) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min({key_col}) AS keep
+FROM {table}
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+# -- minhash signatures + LSH pairs (SQL twins) -------------------------------
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+                       num_hashes: int = linking.DEFAULT_NUM_HASHES) -> DataFrame:
+    """Per-doc minhash signature; docs with < SHINGLE_K tokens are excluded
+    (keeps the SQL twin window-based). Column `key` + mh0..mhN."""
+    sigs = linking.signatures(docs, text_col=text_col, key_col=key_col, num_hashes=num_hashes)
+    ntok = F.size(tokens_col(F.col(text_col)))
+    keys = docs.select(F.col(key_col).alias("key"), ntok.alias("_n")).filter(F.col("_n") >= SHINGLE_K)
+    return sigs.join(keys.select("key"), "key", "inner")
+
+
+def _shingle_cte(table: str, text_col: str, key_col: str, k: int = SHINGLE_K) -> str:
+    """tokens -> word k-gram shingle list via scalar range() + 1-based list
+    indexing (SQL twin of shingles_col); docs with < k tokens excluded."""
+    toks = tokens_sql(text_col)
+    gram = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+    return f"""
+tok AS (
+  SELECT {key_col} AS key, {toks} AS toks FROM {table}
+  WHERE len({toks}) >= {k}
+),
+sh AS (
+  SELECT key, unnest(list_transform(range(1, len(toks) - {k - 2}), i -> {gram})) AS shingle
+  FROM tok
+)"""
+
+
+def minhash_signatures_sql(table: str = "documents", text_col: str = "text",
+                           key_col: str = "doc_id",
+                           num_hashes: int = linking.DEFAULT_NUM_HASHES) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(num_hashes)
+    )
+    return f"""
+WITH {_shingle_cte(table, text_col, key_col)}
+SELECT key, {mins}
+FROM sh
+GROUP BY key
+"""
+
+
+def lsh_dup_pairs(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+                  num_hashes: int = linking.DEFAULT_NUM_HASHES,
+                  band_rows: int = linking.DEFAULT_BAND_ROWS,
+                  threshold: float = 0.5) -> DataFrame:
+    """(a, b, sim_est) near-dup pairs via MinHash-LSH blocking."""
+    sigs = minhash_signatures(docs, text_col, key_col, num_hashes)
+    pairs = linking.candidate_pairs(linking.band_df(sigs, num_hashes, band_rows))
+    edges = linking.verified_edges(pairs, sigs, num_hashes, threshold)
+    return edges.select("a", "b", F.round("sim_est", 6).alias("sim_est"))
+
+
+def lsh_dup_pairs_sql(table: str = "documents", text_col: str = "text",
+                      key_col: str = "doc_id",
+                      num_hashes: int = linking.DEFAULT_NUM_HASHES,
+                      band_rows: int = linking.DEFAULT_BAND_ROWS,
+                      threshold: float = 0.5) -> str:
+    bands = num_hashes // band_rows
+    band_arms = " UNION ALL ".join(
+        "SELECT key, {b} AS band_id, ".format(b=b)
+        + " || '|' || ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + " AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN l.mh{j} = r.mh{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+WITH sigs AS ({minhash_signatures_sql(table, text_col, key_col, num_hashes)}),
+bands AS ({band_arms}),
+cand AS (
+  SELECT DISTINCT l.key AS a, r.key AS b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.key < r.key
+)
+SELECT cand.a, cand.b,
+       round(({agree}) / {float(num_hashes)}, 6) AS sim_est
+FROM cand
+JOIN sigs l ON l.key = cand.a
+JOIN sigs r ON r.key = cand.b
+WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+# -- simhash ------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Majority-vote simhash over token md5s. Bit i of a token's hash =
+    bit i of conv(substr(md5(tok),1,8), 16, 10). All JVM-side.
+
+    Output: (key, simhash BIGINT).
+    """
+    # one md5 pass per token, then `bits` cheap bit-extractions over the
+    # materialized hash array (lambda bodies get no CSE — keep them cheap)
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    step1 = docs.select(F.col(key_col).alias("key"), tokens_col(F.col(text_col)).alias("_toks"))
+    step2 = step1.select("key", F.size("_toks").alias("_n"), F.transform("_toks", h).alias("_h"))
+
+    def _bit_counter(i: int):
+        # closure (not default-arg) — F.aggregate requires exactly-2-ary merge
+        return lambda acc, hv: acc + F.shiftright(hv, i).bitwiseAND(F.lit(1)).cast("int")
+
+    bit_cols = []
+    for i in range(bits):
+        # count tokens with bit i set; majority vote sets the signature bit
+        cnt = F.aggregate(F.col("_h"), F.lit(0), _bit_counter(i))
+        bit_cols.append(
+            F.when(cnt * 2 >= F.col("_n"), F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+        )
+    sig = bit_cols[0]
+    for b in bit_cols[1:]:
+        sig = sig + b
+    return step2.select(
+        "key",
+        F.when(F.col("_n") > 0, sig).otherwise(F.lit(None).cast("bigint")).alias("simhash"),
+    )
+
+
+def simhash_sql(table: str = "documents", text_col: str = "text", key_col: str = "doc_id",
+                bits: int = SIMHASH_BITS) -> str:
+    toks = tokens_sql(text_col)
+    h = "CAST(('0x' || substring(md5(t), 1, 8))::UBIGINT AS BIGINT)"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({toks}, t -> (({h} >> {i}) & 1))) * 2"
+        f" >= len({toks}) THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+SELECT {key_col} AS key,
+       CASE WHEN len({toks}) > 0 THEN {bit_terms} ELSE NULL END AS simhash
+FROM {table}
+"""
+
+
+# -- exact n-gram Jaccard on candidates ---------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", key_col: str = "doc_id",
+                        k: int = SHINGLE_K) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs (a, b).
+    Distributed set-intersection via explode + join, grouped per pair —
+    cost is bounded by candidate count, not corpus^2."""
+    sh = docs.select(
+        F.col(key_col).alias("key"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "key",
+        F.explode(F.array_distinct(linking.shingles_from_tokens(F.col("_toks"), k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("key").alias("a"), "shingle")
+    b_sh = sh.select(F.col("key").alias("b"), F.col("shingle").alias("shingle2"))
+    inter = (
+        pairs.join(a_sh, "a")
+        .join(b_sh, (pairs["b"] == b_sh["b"]) & (F.col("shingle") == F.col("shingle2")), "inner")
+        .groupBy("a", pairs["b"].alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("key").alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("key").alias("b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

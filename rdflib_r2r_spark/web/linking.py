@@ -25,9 +25,10 @@ DEFAULT_BAND_ROWS = 2  # hashes per band -> bands = num_hashes // band_rows
 SHINGLE_K = 3
 
 
-def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
-    """Word k-gram shingles as an array column (JVM-side)."""
-    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingles from a (pre-materialized) token array column.
+    Pass an attribute reference, not the tokenizer expression — otherwise
+    the tokenizer is re-evaluated per element_at (no CSE inside lambdas)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -36,6 +37,12 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array().cast("array<string>"))
     )
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Shingles directly from text — only for single-use contexts."""
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+    return shingles_from_tokens(toks, k)
 
 
 def minhash_sig_cols(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
@@ -49,10 +56,12 @@ def minhash_sig_cols(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> 
 
 def signatures(df: DataFrame, text_col: str = "text", key_col: str = "url",
                num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    sh = shingles_col(F.col(text_col))
-    return df.select(F.col(key_col).alias("key"), *[
-        c for c in minhash_sig_cols(sh, num_hashes)
-    ])
+    # three projections so tokens and shingles are computed ONCE per row;
+    # the num_hashes min-hash columns then reference cheap attributes.
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
+    step1 = df.select(F.col(key_col).alias("key"), toks.alias("_toks"))
+    step2 = step1.select("key", shingles_from_tokens(F.col("_toks")).alias("_sh"))
+    return step2.select("key", *minhash_sig_cols(F.col("_sh"), num_hashes))
 
 
 def band_df(sigs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
