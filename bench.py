@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline metric: triples/sec emitted by the end-to-end KG-construction
+pipeline (pages -> extract -> map-compile -> mentions -> LSH -> CC ->
+bucketed write), per BASELINE.json. Secondary: per-query seconds for the
+relational/dedup headliners.
+
+$SPARK_GRAFT_REPLICATE (default 1) fans the documents corpus out N-fold
+inside the job (deterministic doc_id offsets) — used by scripts/scaling.py
+to give the scaling runs enough work to measure parallel efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rdflib_r2r_spark.session import get_spark  # noqa: E402
+
+
+def replicate_documents(spark, sf_dir: str, factor: int, out_dir: str) -> str:
+    """Deterministically fan out documents.parquet `factor`x (distinct
+    doc_ids) so throughput runs have configurable work on the same input."""
+    if factor <= 1:
+        return sf_dir
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    # similarity-preserving fan-out: suffix every token with the replica id,
+    # so replica slice r reproduces the original corpus's near-dup structure
+    # against itself but shares no shingles across slices — work (docs,
+    # mentions, LSH pairs, CC components) all scale LINEARLY with factor.
+    rep = (
+        docs.select("*", F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * n)
+        .withColumn(
+            "text",
+            F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit("x"), F.col("_r").cast("string")),
+                    ),
+                )
+            ),
+        )
+        .drop("_r")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    rep.repartition(64).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    return out_dir
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    sf_label = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+
+    import __spark_entry__ as E
+    from rdflib_r2r_spark.pipeline import KGPipeline
+
+    # warm up JVM / codegen / parquet reader so timings reflect steady state
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, df_fn) -> None:
+        t0 = time.time()
+        df_fn().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    qs = E.queries()
+    for name in [
+        "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_group_having",
+        "q_window_session", "dedup_lsh_pairs", "dedup_simhash",
+        "q_text_stats", "ann_cosine_topk", "kg_dump_geo", "kg_mentions",
+    ]:
+        timed(name, lambda n=name: qs[n](spark, sf_dir))
+
+    # headline: end-to-end KG pipeline triples/sec (fresh workdir, no resume)
+    tmp = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        pipe_input = sf_dir
+        if replicate > 1:
+            pipe_input = replicate_documents(spark, sf_dir, replicate, f"{tmp}/input")
+        t0 = time.time()
+        pipe = KGPipeline(spark, pipe_input, f"{tmp}/kg", resume=False, count_rows=True)
+        pipe.run()
+        wall = time.time() - t0
+        n_triples = pipe.results["triples"].rows or 0
+        timings["kg_pipeline"] = round(wall, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    tps = n_triples / wall if wall > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_wall_seconds",
+                "value": round(wall, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_label,
+                "triples_emitted": n_triples,
+                "triples_per_sec": round(tps, 1),
+                "replicate": replicate,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -83,13 +83,17 @@ sh AS (
 def minhash_signatures_sql(table: str = "documents", text_col: str = "text",
                            key_col: str = "doc_id",
                            num_hashes: int = linking.DEFAULT_NUM_HASHES) -> str:
+    p = linking.MINHASH_P
+    base = f"CAST(('0x' || substring(md5(shingle), 1, 15))::UBIGINT AS BIGINT) % {p}"
     mins = ",\n       ".join(
-        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(num_hashes)
+        f"min(({a} * hv + {b}) % {p}) AS mh{j}"
+        for j, (a, b) in enumerate(linking.hash_params(num_hashes))
     )
     return f"""
-WITH {_shingle_cte(table, text_col, key_col)}
+WITH {_shingle_cte(table, text_col, key_col)},
+hv AS (SELECT key, {base} AS hv FROM sh)
 SELECT key, {mins}
-FROM sh
+FROM hv
 GROUP BY key
 """
 
@@ -113,7 +117,7 @@ def lsh_dup_pairs_sql(table: str = "documents", text_col: str = "text",
     bands = num_hashes // band_rows
     band_arms = " UNION ALL ".join(
         "SELECT key, {b} AS band_id, ".format(b=b)
-        + " || '|' || ".join(f"mh{b * band_rows + r}" for r in range(band_rows))
+        + " || '|' || ".join(f"CAST(mh{b * band_rows + r} AS VARCHAR)" for r in range(band_rows))
         + " AS band_val FROM sigs"
         for b in range(bands)
     )

@@ -88,6 +88,10 @@ class KGPipeline:
     threshold: float = 0.5
     resume: bool = True
     count_rows: bool = True
+    # concurrent submission of independent stages pays off only when stages
+    # are overhead-dominated (small inputs); at scale the heavy stages thrash
+    # each other's executors, so default to sequential.
+    parallel_stages: bool = False
     results: dict[str, StageResult] = field(default_factory=dict)
 
     # -- checkpoint/lineage machinery ----------------------------------------
@@ -170,6 +174,21 @@ class KGPipeline:
 
     # -- stages ---------------------------------------------------------------
 
+    def _parallel(self, jobs: dict[str, tuple]) -> dict[str, DataFrame]:
+        """Run independent stages concurrently — Spark's scheduler interleaves
+        their jobs across the executor pool, amortizing per-stage fixed costs
+        (write/read-back/lineage). Falls back to sequential when disabled."""
+        if not self.parallel_stages or len(jobs) == 1:
+            return {n: self.stage(n, up, fn, **kw) for n, (up, fn, kw) in jobs.items()}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+            futs = {
+                n: pool.submit(self.stage, n, up, fn, **kw)
+                for n, (up, fn, kw) in jobs.items()
+            }
+            return {n: f.result() for n, f in futs.items()}
+
     def run(self) -> DataFrame:
         spark = self.spark
         docs = spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
@@ -184,38 +203,60 @@ class KGPipeline:
             ),
         )
 
-        base_triples = self.stage(
-            "base_triples",
-            ["extracted"],
-            lambda: SparkMappingCompiler(spark, {"pages": extracted}).compile([pages_triples_map()]),
+        branch = self._parallel(
+            {
+                "base_triples": (
+                    ["extracted"],
+                    lambda: SparkMappingCompiler(spark, {"pages": extracted}).compile(
+                        [pages_triples_map()]
+                    ),
+                    {},
+                ),
+                "alias_dict": (
+                    ["extracted"],
+                    lambda: men.build_alias_dict(extracted, size=self.dict_size),
+                    {},
+                ),
+                "sigs": (
+                    ["extracted"],
+                    lambda: linking.signatures(extracted, num_hashes=self.num_hashes),
+                    {},
+                ),
+            }
         )
+        base_triples = branch["base_triples"]
+        alias_dict = branch["alias_dict"]
+        sigs = branch["sigs"]
 
-        alias_dict = self.stage(
-            "alias_dict",
-            ["extracted"],
-            lambda: men.build_alias_dict(extracted, size=self.dict_size),
-        )
-
-        mention_rows = self.stage(
-            "mentions",
-            ["extracted", "alias_dict"],
-            lambda: men.detect_mentions(extracted, alias_dict),
-        )
-
+        # minhash signatures are checkpointed above, so the candidate
+        # self-join and verification read parquet instead of re-hashing
+        # the corpus on every branch of the join.
         edges = self.stage(
             "edges",
-            ["extracted"],
+            ["sigs"],
             lambda: linking.near_dup_edges(
                 extracted, num_hashes=self.num_hashes,
                 band_rows=self.band_rows, threshold=self.threshold,
+                sigs=sigs,
             ),
         )
 
-        canon = self.stage(
-            "canon",
-            ["edges"],
-            lambda: components.canonical_map(edges),
+        branch2 = self._parallel(
+            {
+                "mentions": (
+                    ["extracted", "alias_dict"],
+                    lambda: men.detect_mentions(extracted, alias_dict),
+                    {},
+                ),
+                "canon": (
+                    ["edges"],
+                    lambda: components.canonical_map(edges),
+                    {},
+                ),
+            }
         )
+        mention_rows = branch2["mentions"]
+        canon = branch2["canon"]
 
         def build_triples() -> DataFrame:
             mt = men.mention_triples(mention_rows)
@@ -228,9 +269,11 @@ class KGPipeline:
                 F.lit(None).cast("string").alias("graph"),
             )
             allt = base_triples.unionByName(mt).unionByName(same)
+            # repartition on the bucket key so each writer task emits one
+            # file per bucket dir instead of num_buckets small files each
             return allt.withColumn(
                 "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(self.num_buckets))
-            )
+            ).repartition(self.num_buckets, "subj_bucket")
 
         triples = self.stage("triples", ["base_triples", "mentions", "canon"],
                              build_triples, partition_by="subj_bucket")

@@ -62,7 +62,9 @@ def alias_dict_py(texts: dict[str, str], size: int = DEFAULT_DICT_SIZE,
 
 
 def minhash_sig_py(text: str, num_hashes: int = DEFAULT_NUM_HASHES,
-                   k: int = SHINGLE_K) -> list[str] | None:
+                   k: int = SHINGLE_K) -> list[int] | None:
+    from rdflib_r2r_spark.web.linking import MINHASH_P, hash_params
+
     toks = tokens_py(text)
     if not toks:
         return None
@@ -70,10 +72,8 @@ def minhash_sig_py(text: str, num_hashes: int = DEFAULT_NUM_HASHES,
         shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
     else:
         shingles = [" ".join(toks)]
-    return [
-        min(hashlib.md5(f"{j}:{s}".encode()).hexdigest() for s in shingles)
-        for j in range(num_hashes)
-    ]
+    hv = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P for s in shingles]
+    return [min((a * h + b) % MINHASH_P for h in hv) for a, b in hash_params(num_hashes)]
 
 
 class _UF:
@@ -136,7 +136,7 @@ def reference_triples(
         if sig is None:
             continue
         for b in range(bands):
-            val = "|".join(sig[b * band_rows:(b + 1) * band_rows])
+            val = "|".join(str(v) for v in sig[b * band_rows:(b + 1) * band_rows])
             buckets.setdefault((b, val), []).append(url)
     uf = _UF()
     for _key, urls in buckets.items():

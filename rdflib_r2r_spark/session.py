@@ -52,7 +52,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # stay under the compressed-OOPs limit: heaps >~32g disable pointer
+        # compression and anti-scale with thread count (measured: md5 bench
+        # 2.5s @16g/32thr vs 16.9s @32g/32thr). Spill goes to disk anyway.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -10,12 +10,16 @@ Scale shape (north_star: "MinHash-LSH candidate blocking"):
 - candidate pairs are verified by full-signature agreement (estimated
   Jaccard) before becoming edges.
 
-Hash family is md5-based (``md5(j || ':' || shingle)``) so DuckDB oracles and
-the pure-Python reference implementation reproduce identical signatures;
-xxhash64 would be faster but is Spark-only. Swap via ``hash_expr``.
+Hash family: ONE md5 base hash per shingle (engine-portable: identical in
+Spark, DuckDB and Python), then j affine permutations
+``(a_j * h + b_j) mod p`` (p = 2^31-1) — the standard universal-hash
+minhash family. One expensive hash pass instead of num_hashes passes;
+xxhash64 would be faster still but is Spark-only.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -23,6 +27,19 @@ from pyspark.sql import functions as F
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_ROWS = 2  # hashes per band -> bands = num_hashes // band_rows
 SHINGLE_K = 3
+MINHASH_P = (1 << 31) - 1  # Mersenne prime; a*h+b stays < 2^62 (no overflow
+#                            in either engine's 64-bit signed arithmetic)
+
+
+def hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) affine coefficients derived from md5."""
+    out = []
+    for j in range(num_hashes):
+        d = hashlib.md5(f"minhash-param:{j}".encode()).hexdigest()
+        a = (int(d[:8], 16) % (MINHASH_P - 1)) + 1
+        b = int(d[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
 
 
 def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
@@ -45,23 +62,39 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
     return shingles_from_tokens(toks, k)
 
 
-def minhash_sig_cols(shingles: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
-    """One min-hash per hash function j: min over shingles of
-    md5('{j}:'+shingle) — lexicographic min over hex, engine-portable."""
-    return [
-        F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
+def base_hash_col(shingles: Column) -> Column:
+    """h(s) = int(md5(s)[:15 hex], 16) mod p — the one expensive pass."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MINHASH_P,
+    )
+
+
+def minhash_sig_cols(base_hashes: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
+    """mh_j = min over shingles of (a_j*h + b_j) mod p — cheap arithmetic
+    over the materialized base-hash array."""
+    def perm(a: int, b: int):
+        # closure, not default args — higher-order fns require 1-ary lambdas
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
+
+    cols = []
+    for j, (a, b) in enumerate(hash_params(num_hashes)):
+        cols.append(
+            F.array_min(F.transform(base_hashes, perm(a, b))).alias(f"mh{j}")
+        )
+    return cols
 
 
 def signatures(df: DataFrame, text_col: str = "text", key_col: str = "url",
                num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    # three projections so tokens and shingles are computed ONCE per row;
-    # the num_hashes min-hash columns then reference cheap attributes.
+    # staged projections so tokens, shingles and base hashes are computed
+    # ONCE per row; the num_hashes min-hash columns then reference cheap
+    # attributes (array lambdas get no CSE — never inline expensive exprs).
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
     step1 = df.select(F.col(key_col).alias("key"), toks.alias("_toks"))
     step2 = step1.select("key", shingles_from_tokens(F.col("_toks")).alias("_sh"))
-    return step2.select("key", *minhash_sig_cols(F.col("_sh"), num_hashes))
+    step3 = step2.select("key", base_hash_col(F.col("_sh")).alias("_hv"))
+    return step3.select("key", *minhash_sig_cols(F.col("_hv"), num_hashes))
 
 
 def band_df(sigs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
@@ -71,7 +104,9 @@ def band_df(sigs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
     arms = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.concat_ws("|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]).alias("band_val"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{b * band_rows + r}").cast("string") for r in range(band_rows)]
+            ).alias("band_val"),
         )
         for b in range(bands)
     ]
@@ -116,7 +151,14 @@ def verified_edges(pairs: DataFrame, sigs: DataFrame,
 def near_dup_edges(df: DataFrame, text_col: str = "text", key_col: str = "url",
                    num_hashes: int = DEFAULT_NUM_HASHES,
                    band_rows: int = DEFAULT_BAND_ROWS,
-                   threshold: float = 0.5) -> DataFrame:
-    sigs = signatures(df, text_col, key_col, num_hashes)
+                   threshold: float = 0.5,
+                   sigs: DataFrame | None = None) -> DataFrame:
+    """Pass precomputed ``sigs`` when available (e.g. a checkpointed stage).
+    Otherwise the signature plan is persisted here: it feeds BOTH sides of
+    the candidate self-join plus verification — without materialization the
+    minhash computation would re-execute 4x."""
+    own_sigs = sigs is None
+    if own_sigs:
+        sigs = signatures(df, text_col, key_col, num_hashes).persist()
     pairs = candidate_pairs(band_df(sigs, num_hashes, band_rows))
     return verified_edges(pairs, sigs, num_hashes, threshold)
