@@ -34,6 +34,8 @@ from rdflib_r2r_spark.mapping import (
     direct_mapping,
 )
 from rdflib_r2r_spark.operators import dedup, multimodal, similarity, textstats
+from rdflib_r2r_spark.paths import alt, eval_path, inv, seq, transitive_closure
+from rdflib_r2r_spark.rewrites import add_chain_maps
 from rdflib_r2r_spark.oracle import mapping_to_duckdb_sql
 from rdflib_r2r_spark.templates import invert_template_py
 from rdflib_r2r_spark.terms import iri_unsafe_py
@@ -132,6 +134,48 @@ def orders_tmap() -> TriplesMap:
                 objects=(TermMap(column="o_orderpriority"),),
             ),
         ),
+    )
+
+
+def chain_tmaps() -> list[TriplesMap]:
+    """geo mapping variant where the parent also reads its key column, so
+    the B7 chain-map rewrite synthesizes '<regionref>/<regionkey>' (join
+    eliminated: read n_regionkey directly) and its inverse."""
+    region = TriplesMap(
+        name="region",
+        source=LogicalSource(table="region"),
+        subject_map=SubjectMap(template=EX + "region/{r_regionkey}"),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "regionkey"),),
+                objects=(TermMap(column="r_regionkey", datatype=terms.XSD_INTEGER),),
+            ),
+        ),
+    )
+    nation = TriplesMap(
+        name="nation",
+        source=LogicalSource(table="nation"),
+        subject_map=SubjectMap(template=EX + "nation/{n_nationkey}"),
+        pomaps=(
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "regionref"),),
+                objects=(
+                    TermMap(
+                        parent_triples_map="region",
+                        join_conditions=(JoinCondition(child="n_regionkey", parent="r_regionkey"),),
+                    ),
+                ),
+            ),
+            PredicateObjectMap(
+                predicates=(const_iri(EX + "nregion"),),
+                objects=(TermMap(column="n_regionkey", datatype=terms.XSD_INTEGER),),
+            ),
+        ),
+    )
+    return add_chain_maps(
+        [nation, region],
+        column_datatypes={"nation": {"n_regionkey": terms.XSD_INTEGER},
+                          "region": {"r_regionkey": terms.XSD_INTEGER}},
     )
 
 
@@ -234,6 +278,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["kg_alias_dict"] = kg_alias_dict
+
+    def kg_chain_dump(spark, sf):
+        comp = SparkMappingCompiler(
+            spark, {n: _t(spark, sf, n) for n in ("nation", "region")}
+        )
+        return comp.compile(chain_tmaps())
+
+    q["kg_chain_dump"] = kg_chain_dump
+
+    def _geo_dump(spark, sf):
+        comp = SparkMappingCompiler(
+            spark, {n: _t(spark, sf, n) for n in ("nation", "region")}
+        )
+        return comp.compile(geo_tmaps())
+
+    def q_path_seq(spark, sf):
+        return eval_path(_geo_dump(spark, sf), seq(EX + "inRegion", EX + "name"))
+
+    q["q_path_seq"] = q_path_seq
+
+    def q_path_alt_inv(spark, sf):
+        return eval_path(_geo_dump(spark, sf), alt(EX + "name", inv(EX + "inRegion")))
+
+    q["q_path_alt_inv"] = q_path_alt_inv
+
+    def q_transitive_closure(spark, sf):
+        ev = _t(spark, sf, "events")
+        edges = (
+            ev.filter(F.col("user_id") > 0)
+            .select(
+                F.col("user_id").alias("src"),
+                F.floor(F.col("user_id") / 2).cast("bigint").alias("dst"),
+            )
+            .distinct()
+        )
+        return transitive_closure(edges)
+
+    q["q_transitive_closure"] = q_transitive_closure
 
     # ---- relational operators (A2-A13) ----
     def q_filter_project(spark, sf):
@@ -618,6 +700,31 @@ SELECT DISTINCT '<' || tok.url || '>' AS subj,
        CAST(NULL AS VARCHAR) AS obj_lang,
        CAST(NULL AS VARCHAR) AS graph
 FROM tok JOIN adict ON tok.tok = adict.alias
+"""
+
+    o["kg_chain_dump"] = mapping_to_duckdb_sql(chain_tmaps())
+
+    geo_sql = mapping_to_duckdb_sql(geo_tmaps())
+    o["q_path_seq"] = (
+        "WITH dump AS (" + geo_sql + ") "
+        "SELECT a.subj AS s, b.obj AS o FROM dump a JOIN dump b ON a.obj = b.subj "
+        f"WHERE a.pred = '<{EX}inRegion>' AND b.pred = '<{EX}name>'"
+    )
+    o["q_path_alt_inv"] = (
+        "WITH dump AS (" + geo_sql + ") "
+        f"SELECT DISTINCT subj AS s, obj AS o FROM dump WHERE pred = '<{EX}name>' "
+        f"UNION SELECT DISTINCT obj AS s, subj AS o FROM dump WHERE pred = '<{EX}inRegion>'"
+    )
+    o["q_transitive_closure"] = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT user_id AS src, user_id // 2 AS dst FROM events WHERE user_id > 0
+),
+r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+)
+SELECT src, dst FROM r
 """
 
     o["q_filter_project"] = """

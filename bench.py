@@ -91,18 +91,35 @@ def main() -> None:
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir))
 
-    # headline: end-to-end KG pipeline triples/sec (fresh workdir, no resume)
+    # headline: end-to-end KG pipeline triples/sec. Fused mode (single DAG,
+    # only the final bucketed triple table + lineage written) is the
+    # throughput configuration; checkpointed mode (every stage persisted +
+    # resumable) is also timed for the record. SPARK_GRAFT_CHECKPOINT=1
+    # makes the checkpointed run the headline.
+    headline_checkpointed = os.environ.get("SPARK_GRAFT_CHECKPOINT", "0") == "1"
     tmp = tempfile.mkdtemp(prefix="bench_kg_")
     try:
         pipe_input = sf_dir
         if replicate > 1:
             pipe_input = replicate_documents(spark, sf_dir, replicate, f"{tmp}/input")
+
         t0 = time.time()
-        pipe = KGPipeline(spark, pipe_input, f"{tmp}/kg", resume=False, count_rows=True)
+        pipe = KGPipeline(spark, pipe_input, f"{tmp}/kg", resume=False,
+                          count_rows=True, checkpoint_stages=False)
         pipe.run()
-        wall = time.time() - t0
+        wall_fused = time.time() - t0
         n_triples = pipe.results["triples"].rows or 0
-        timings["kg_pipeline"] = round(wall, 3)
+        timings["kg_pipeline_fused"] = round(wall_fused, 3)
+        spark.catalog.clearCache()
+
+        t0 = time.time()
+        pipe2 = KGPipeline(spark, pipe_input, f"{tmp}/kg_ckpt", resume=False,
+                           count_rows=True, checkpoint_stages=True)
+        pipe2.run()
+        wall_ckpt = time.time() - t0
+        timings["kg_pipeline_checkpointed"] = round(wall_ckpt, 3)
+
+        wall = wall_ckpt if headline_checkpointed else wall_fused
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -110,7 +127,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "kg_pipeline_wall_seconds",
+                "metric": "kg_pipeline_fused_wall_seconds" if not headline_checkpointed else "kg_pipeline_wall_seconds",
                 "value": round(wall, 3),
                 "unit": "sec",
                 "queries": timings,

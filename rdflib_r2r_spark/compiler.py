@@ -110,6 +110,8 @@ class SparkMappingCompiler:
         lang = F.lit(tm.language).cast("string") if tm.language else _null_str()
 
         if tm.constant is not None:
+            if ttype == "RawIRI":  # pre-rendered lexical (chain predicates)
+                return F.lit(tm.constant), _null_str(), _null_str()
             if ttype == "IRI":
                 return F.lit(terms.wrap_iri(tm.constant)), _null_str(), _null_str()
             if ttype == "BlankNode":

@@ -34,6 +34,8 @@ def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
     null_s = "CAST(NULL AS VARCHAR)"
 
     if tm.constant is not None:
+        if ttype == "RawIRI":  # pre-rendered lexical (chain predicates)
+            return _sq(tm.constant), null_s, null_s
         if ttype == "IRI":
             return _sq(terms.wrap_iri(tm.constant)), null_s, null_s
         if ttype == "BlankNode":

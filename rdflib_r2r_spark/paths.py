@@ -1,0 +1,160 @@
+"""SPARQL-style property paths over the materialized triple table.
+
+Two layers, mirroring the reference:
+
+1. **Compile-time BGP rewriting** (`resolve_paths`) — the same algorithm as
+   the reference's ``resolve_paths_in_triples`` (reference:
+   rdflib_r2r/sql_converter.py:197-233): SequencePath chains through fresh
+   variables, AlternativePath fans out alternative BGPs, InvPath swaps
+   subject/object. Pure Python, reusable verbatim at any scale.
+
+2. **Runtime evaluation** (`eval_path`) over the triple DataFrame:
+   sequence = self-join on the hop variable, alternative = union, inverse =
+   projection swap. Plus ``transitive_closure`` — the `+`/`*` paths the
+   reference explicitly does NOT support ("some day: recursive CTEs",
+   reference: plan.md:22, sql_converter.py:229-230) — implemented as an
+   iterative-doubling DataFrame loop with localCheckpoint lineage
+   truncation (doubling: O(log diameter) joins instead of O(diameter)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# -- path AST ----------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Pred:
+    iri: str
+
+
+@dataclass(frozen=True)
+class Seq:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class Alt:
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class Inv:
+    part: object
+
+
+def seq(*parts):
+    return Seq(tuple(_lift(p) for p in parts))
+
+
+def alt(*parts):
+    return Alt(tuple(_lift(p) for p in parts))
+
+
+def inv(part):
+    return Inv(_lift(part))
+
+
+def _lift(p):
+    return Pred(p) if isinstance(p, str) else p
+
+
+# -- compile-time BGP rewriting (reference-equivalent) ------------------------
+
+def resolve_paths(bgp: list[tuple], fresh=None):
+    """Yield alternative BGPs with all paths reduced to plain predicates.
+    Triples are (s, p, o) where p is a str IRI or a path AST node."""
+    if fresh is None:
+        counter = [0]
+
+        def fresh():
+            counter[0] += 1
+            return f"?__v{counter[0]}"
+
+    if not bgp:
+        yield []
+        return
+    (s, p, o), rest = bgp[0], list(bgp[1:])
+    p = _lift(p) if not isinstance(p, (Pred, Seq, Alt, Inv)) else p
+    if isinstance(p, Pred):
+        for tail in resolve_paths(rest, fresh):
+            yield [(s, p.iri, o)] + tail
+    elif isinstance(p, Seq):
+        replacement = []
+        subj = s
+        for part in p.parts[:-1]:
+            v = fresh()
+            replacement.append((subj, part, v))
+            subj = v
+        replacement.append((subj, p.parts[-1], o))
+        yield from resolve_paths(replacement + rest, fresh)
+    elif isinstance(p, Alt):
+        for part in p.parts:
+            yield from resolve_paths([(s, part, o)] + rest, fresh)
+    elif isinstance(p, Inv):
+        yield from resolve_paths([(o, p.part, s)] + rest, fresh)
+    else:
+        raise NotImplementedError(f"unsupported path {p!r}")
+
+
+# -- runtime evaluation over DataFrame[subj, pred, obj] -----------------------
+
+def _pred_df(triples: DataFrame, iri: str) -> DataFrame:
+    return triples.filter(F.col("pred") == f"<{iri}>").select(
+        F.col("subj").alias("s"), F.col("obj").alias("o")
+    )
+
+
+def eval_path(triples: DataFrame, path) -> DataFrame:
+    """(s, o) pairs reachable via the path."""
+    path = _lift(path)
+    if isinstance(path, Pred):
+        return _pred_df(triples, path.iri)
+    if isinstance(path, Inv):
+        return eval_path(triples, path.part).select(
+            F.col("o").alias("s"), F.col("s").alias("o")
+        )
+    if isinstance(path, Alt):
+        return reduce(
+            lambda a, b: a.unionByName(b), (eval_path(triples, p) for p in path.parts)
+        ).distinct()
+    if isinstance(path, Seq):
+        out = eval_path(triples, path.parts[0])
+        for part in path.parts[1:]:
+            nxt = eval_path(triples, part).select(
+                F.col("s").alias("_m"), F.col("o").alias("_o")
+            )
+            out = (
+                out.join(nxt, out["o"] == nxt["_m"], "inner")
+                .select(out["s"].alias("s"), F.col("_o").alias("o"))
+            )
+        return out
+    raise NotImplementedError(f"unsupported path {path!r}")
+
+
+def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
+                       max_iter: int = 20) -> DataFrame:
+    """All (src, dst) pairs connected by >= 1 directed hop — iterative
+    doubling (paths of length 2^k composed each round), localCheckpoint per
+    round to truncate lineage, stop on fixpoint."""
+    reach = edges.select(F.col(src).alias("s"), F.col(dst).alias("o")).distinct()
+    reach = reach.localCheckpoint(eager=True)
+    n = reach.count()
+    for _ in range(max_iter):
+        hop = reach.select(F.col("s").alias("_m"), F.col("o").alias("_o"))
+        doubled = (
+            reach.join(hop, reach["o"] == hop["_m"], "inner")
+            .select(reach["s"].alias("s"), F.col("_o").alias("o"))
+        )
+        new_reach = reach.unionByName(doubled).distinct().localCheckpoint(eager=True)
+        n2 = new_reach.count()
+        reach = new_reach
+        if n2 == n:
+            break
+        n = n2
+    return reach.select(F.col("s").alias(src), F.col("o").alias(dst))

@@ -92,6 +92,15 @@ class KGPipeline:
     # are overhead-dominated (small inputs); at scale the heavy stages thrash
     # each other's executors, so default to sequential.
     parallel_stages: bool = False
+    # checkpoint_stages=False fuses all intermediate stages into one DAG:
+    # multi-consumer intermediates are memory/disk-persisted instead of
+    # parquet round-tripped, and only the final bucketed triple table (plus
+    # its lineage) hits storage. Use for throughput runs; checkpointed mode
+    # (default) is the resumable production shape — on a cluster its writes
+    # go to distributed storage, locally they serialize on one disk.
+    checkpoint_stages: bool = True
+    # stages whose DataFrame feeds >1 downstream consumer (fused mode)
+    _MULTI_CONSUMER = ("extracted", "sigs")
     results: dict[str, StageResult] = field(default_factory=dict)
 
     # -- checkpoint/lineage machinery ----------------------------------------
@@ -133,6 +142,12 @@ class KGPipeline:
         path = os.path.join(self.workdir, name)
         mpath = self._manifest_path(name)
         t0 = time.time()
+        if not self.checkpoint_stages and name != "triples":
+            df = compute()
+            if name in self._MULTI_CONSUMER:
+                df = df.persist()
+            self.results[name] = StageResult(name, "", fp, False, time.time() - t0, None)
+            return df
         if self.resume and os.path.exists(mpath):
             with open(mpath) as f:
                 manifest = json.load(f)

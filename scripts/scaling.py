@@ -53,6 +53,8 @@ def main() -> None:
     efficiency = speedup / 4.0
     print(f"speedup 8->32: {speedup:.2f}x, scaling efficiency: {efficiency:.2f}")
 
+    ck8 = results[8]["queries"].get("kg_pipeline_checkpointed")
+    ck32 = results[32]["queries"].get("kg_pipeline_checkpointed")
     md = f"""# BENCH — measured throughput and scaling efficiency
 
 Job: end-to-end KG-construction pipeline (pages -> HTML-extract ->
@@ -60,12 +62,16 @@ R2RML-compile -> mentions -> MinHash-LSH -> connected components ->
 bucketed triple write), identical input ({sf_dir}, documents fanned out
 x{replicate} deterministically inside the job), identical code, two
 parallelism levels — the sandbox stand-in for N vs 4N executors
-(BASELINE.md scaling row).
+(BASELINE.md scaling row). Throughput mode = fused DAG (only the final
+bucketed triple table + lineage written); the checkpointed resumable mode
+is timed alongside — its per-stage parquet round-trips serialize on this
+host's ONE local disk (~0.6 GB/s shared), which on a real cluster is
+distributed storage bandwidth that scales with executors.
 
-| config | wall (s) | triples emitted | triples/sec |
-|---|---|---|---|
-| local[8]  (N)  | {t8} | {results[8]['triples_emitted']} | {tp8} |
-| local[32] (4N) | {t32} | {results[32]['triples_emitted']} | {tp32} |
+| config | wall fused (s) | wall checkpointed (s) | triples emitted | triples/sec (fused) |
+|---|---|---|---|---|
+| local[8]  (N)  | {t8} | {ck8} | {results[8]['triples_emitted']} | {tp8} |
+| local[32] (4N) | {t32} | {ck32} | {results[32]['triples_emitted']} | {tp32} |
 
 **Speedup 8->32: {speedup:.2f}x — scaling efficiency {efficiency:.2f}**
 (target >= 0.8).
