@@ -39,7 +39,7 @@ from rdflib_r2r_spark.rewrites import add_chain_maps
 from rdflib_r2r_spark.oracle import mapping_to_duckdb_sql
 from rdflib_r2r_spark.templates import invert_template_py
 from rdflib_r2r_spark.terms import iri_unsafe_py
-from rdflib_r2r_spark.web import linking, mentions as men, pages as pg
+from rdflib_r2r_spark.web import mentions as men, pages as pg
 from rdflib_r2r_spark.web.extract import extract_text
 
 SF1 = "/root/testdata/sf0.001"

@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from rdflib_r2r_spark import terms
 from rdflib_r2r_spark.mapping import (
     LogicalSource,
-    SubjectMap,
     TermMap,
     TriplesMap,
     xsd_for_spark_type,

@@ -17,7 +17,7 @@ predicate ``{base}{table}#ref-{cols}`` with join conditions.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import types as T
 

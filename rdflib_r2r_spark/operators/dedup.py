@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdflib_r2r_spark.operators.textstats import TOKEN_SPLIT_RE, tokens_col, tokens_sql
+from rdflib_r2r_spark.operators.textstats import tokens_col, tokens_sql
 from rdflib_r2r_spark.web import linking
 
 SHINGLE_K = linking.SHINGLE_K

@@ -99,8 +99,11 @@ class KGPipeline:
     # (default) is the resumable production shape — on a cluster its writes
     # go to distributed storage, locally they serialize on one disk.
     checkpoint_stages: bool = True
-    # stages whose DataFrame feeds >1 downstream consumer (fused mode)
-    _MULTI_CONSUMER = ("extracted", "sigs")
+    # fused mode: persist ONLY small numeric intermediates. Persisting the
+    # big text stage is a measured pessimization (columnar cache of 2.5M
+    # strings reads slower than recomputing the extraction inline — inline
+    # keeps the whole chain pipelined in one codegen pass per consumer).
+    _MULTI_CONSUMER = ("sigs",)
     results: dict[str, StageResult] = field(default_factory=dict)
 
     # -- checkpoint/lineage machinery ----------------------------------------
@@ -142,7 +145,12 @@ class KGPipeline:
         path = os.path.join(self.workdir, name)
         mpath = self._manifest_path(name)
         t0 = time.time()
-        if not self.checkpoint_stages and name != "triples":
+        if not self.checkpoint_stages and name not in ("triples", "extracted"):
+            # fused: no materialization, except persisting small numeric
+            # multi-consumer frames. 'extracted' (big text, 4 consumers,
+            # expensive UDF) still parquet-checkpoints below: measured
+            # fastest — columnar cache reads slower than parquet scans, and
+            # inline recompute multiplies the UDF cost.
             df = compute()
             if name in self._MULTI_CONSUMER:
                 df = df.persist()

@@ -7,12 +7,7 @@ knowledge, not plan structure.
 
 from __future__ import annotations
 
-from rdflib_r2r_spark.mapping import (
-    PredicateObjectMap,
-    TermMap,
-    TriplesMap,
-    const_iri,
-)
+from rdflib_r2r_spark.mapping import PredicateObjectMap, TermMap, TriplesMap
 
 
 def chain_pred(p1: str, p2: str, inverse_first: bool = False) -> str:

@@ -56,6 +56,11 @@ def get_spark(
         # compression and anti-scale with thread count (measured: md5 bench
         # 2.5s @16g/32thr vs 16.9s @32g/32thr). Spill goes to disk anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # default 128m packs this box's small inputs into fewer read
+        # partitions than cores, starving map stages (e.g. 1.2GB corpus ->
+        # 10 tasks on 32 cores). 32m keeps scans wide here; clusters reading
+        # 100TB keep the default (splits are plentiful there).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "33554432"))
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

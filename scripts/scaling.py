@@ -39,22 +39,26 @@ def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    )
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         runs = [run_bench(cpus, replicate, sf_dir) for _ in range(repeats)]
         r = min(runs, key=lambda x: x["value"])  # best-of-N: GC/IO variance
         results[cpus] = r
         print(f"local[{cpus}]: {[x['value'] for x in runs]}s wall (best {r['value']}), "
               f"{r['triples_per_sec']} triples/s, {r['triples_emitted']} triples")
 
-    t8, t32 = results[8]["value"], results[32]["value"]
-    tp8, tp32 = results[8]["triples_per_sec"], results[32]["triples_per_sec"]
+    lo, hi = levels
+    t8, t32 = results[lo]["value"], results[hi]["value"]
+    tp8, tp32 = results[lo]["triples_per_sec"], results[hi]["triples_per_sec"]
     speedup = t8 / t32
-    efficiency = speedup / 4.0
-    print(f"speedup 8->32: {speedup:.2f}x, scaling efficiency: {efficiency:.2f}")
+    efficiency = speedup / (hi / lo)
+    print(f"speedup {lo}->{hi}: {speedup:.2f}x, scaling efficiency: {efficiency:.2f}")
 
-    ck8 = results[8]["queries"].get("kg_pipeline_checkpointed")
-    ck32 = results[32]["queries"].get("kg_pipeline_checkpointed")
+    ck8 = results[lo]["queries"].get("kg_pipeline_checkpointed")
+    ck32 = results[hi]["queries"].get("kg_pipeline_checkpointed")
     md = f"""# BENCH — measured throughput and scaling efficiency
 
 Job: end-to-end KG-construction pipeline (pages -> HTML-extract ->
@@ -70,16 +74,16 @@ distributed storage bandwidth that scales with executors.
 
 | config | wall fused (s) | wall checkpointed (s) | triples emitted | triples/sec (fused) |
 |---|---|---|---|---|
-| local[8]  (N)  | {t8} | {ck8} | {results[8]['triples_emitted']} | {tp8} |
-| local[32] (4N) | {t32} | {ck32} | {results[32]['triples_emitted']} | {tp32} |
+| local[{lo}]  (N)  | {t8} | {ck8} | {results[lo]['triples_emitted']} | {tp8} |
+| local[{hi}] (4N) | {t32} | {ck32} | {results[hi]['triples_emitted']} | {tp32} |
 
-**Speedup 8->32: {speedup:.2f}x — scaling efficiency {efficiency:.2f}**
+**Speedup {lo}->{hi}: {speedup:.2f}x — scaling efficiency {efficiency:.2f}**
 (target >= 0.8).
 
-Per-query seconds at local[32] (sf={results[32]['sf']}):
+Per-query seconds at local[{hi}] (sf={results[hi]['sf']}):
 
 ```json
-{json.dumps(results[32]['queries'], indent=2)}
+{json.dumps(results[hi]['queries'], indent=2)}
 ```
 """
     (REPO / "BENCH.md").write_text(md)
