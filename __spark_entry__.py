@@ -531,6 +531,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_json_extract"] = q_json_extract
 
+    def q_rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        )
+
+    q["q_rollup"] = q_rollup
+
+    def q_pivot_case(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).cast("bigint").alias("n_f"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).cast("bigint").alias("n_o"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).cast("bigint").alias("n_p"),
+        )
+
+    q["q_pivot_case"] = q_pivot_case
+
+    def q_percentile(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.percentile("l_quantity", 0.5), 6).alias("median_qty"),
+            F.round(F.percentile("l_quantity", 0.9), 6).alias("p90_qty"),
+        )
+
+    q["q_percentile"] = q_percentile
+
+    def q_datetime_funcs(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.weekday("o_orderdate").alias("wd"),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_2002"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+
+    q["q_datetime_funcs"] = q_datetime_funcs
+
+    def q_string_funcs(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.select(
+            "c_custkey",
+            F.trim(F.col("c_name")).alias("trimmed"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+            F.replace(F.col("c_name"), F.lit("_"), F.lit("-")).alias("dashed"),
+            F.instr(F.col("c_name"), "_").cast("bigint").alias("us_pos"),
+            F.reverse(F.col("c_mktsegment")).alias("rev_seg"),
+            F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        )
+
+    q["q_string_funcs"] = q_string_funcs
+
+    def q_sample_hash(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        key = F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+        return li.filter(F.substring(F.md5(key), 1, 1) == "0").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        )
+
+    q["q_sample_hash"] = q_sample_hash
+
+    def kg_graph_quads(spark, sf):
+        tmap = TriplesMap(
+            name="nation_quads",
+            source=LogicalSource(table="nation"),
+            subject_map=SubjectMap(template=EX + "nation/{n_nationkey}"),
+            pomaps=(
+                PredicateObjectMap(
+                    predicates=(const_iri(EX + "name"),),
+                    objects=(TermMap(column="n_name"),),
+                    graphs=(const_iri(EX + "g/names"),),
+                ),
+                PredicateObjectMap(
+                    predicates=(const_iri(EX + "nationkey"),),
+                    objects=(TermMap(column="n_nationkey", datatype=terms.XSD_INTEGER),),
+                    graphs=(const_iri(EX + "g/keys"),),
+                ),
+            ),
+        )
+        comp = SparkMappingCompiler(spark, {"nation": _t(spark, sf, "nation")})
+        dump = comp.compile([tmap])
+        # GRAPH-scoped query: only the names graph
+        return dump.filter(F.col("graph") == f"<{EX}g/names>")
+
+    q["kg_graph_quads"] = kg_graph_quads
+
+    def q_ask(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        n = li.filter((F.col("l_quantity") > 49) & (F.col("l_returnflag") == "R")).limit(1)
+        return n.agg((F.count(F.lit(1)) > 0).alias("found"))
+
+    q["q_ask"] = q_ask
+
+    def q_construct(spark, sf):
+        # CONSTRUCT-equivalent: derive new triples from the materialized KG
+        comp = SparkMappingCompiler(
+            spark, {n: _t(spark, sf, n) for n in ("nation", "region")}
+        )
+        dump = comp.compile(geo_tmaps())
+        names = dump.filter(F.col("pred") == f"<{EX}name>")
+        return names.select(
+            F.col("subj"),
+            F.lit(f"<{EX}label>").alias("pred"),
+            F.upper(F.col("obj")).alias("obj"),
+        )
+
+    q["q_construct"] = q_construct
+
     # ---- TPC-H classics (bench headliners) ----
     def q_tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -892,6 +1004,76 @@ JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
 WHERE r_name = 'ASIA'
 GROUP BY n_name
 """
+
+    o["q_rollup"] = f"""
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+       {_dsum_sql('l_quantity', 2)} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+    o["q_pivot_case"] = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+    o["q_percentile"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+    o["q_datetime_funcs"] = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+    o["q_string_funcs"] = """
+SELECT c_custkey,
+       trim(c_name) AS trimmed,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+       replace(c_name, '_', '-') AS dashed,
+       CAST(strpos(c_name, '_') AS BIGINT) AS us_pos,
+       reverse(c_mktsegment) AS rev_seg,
+       c_mktsegment || '|' || c_name AS joined
+FROM customer
+"""
+
+    o["q_sample_hash"] = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+"""
+
+    o["kg_graph_quads"] = f"""
+SELECT '<{EX}nation/' || {terms.iri_safe_sql('n_nationkey')} || '>' AS subj,
+       '<{EX}name>' AS pred, n_name AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang,
+       '<{EX}g/names>' AS graph
+FROM nation WHERE n_name IS NOT NULL
+"""
+
+    o["q_ask"] = """
+SELECT count(*) > 0 AS found FROM (
+  SELECT 1 FROM lineitem WHERE l_quantity > 49 AND l_returnflag = 'R' LIMIT 1
+)
+"""
+
+    geo_sql2 = mapping_to_duckdb_sql(geo_tmaps())
+    o["q_construct"] = (
+        "WITH dump AS (" + geo_sql2 + ") "
+        f"SELECT subj, '<{EX}label>' AS pred, upper(obj) AS obj "
+        f"FROM dump WHERE pred = '<{EX}name>'"
+    )
 
     o["dedup_exact"] = dedup.exact_dup_groups_sql(prefix=64)
     o["dedup_minhash_sig"] = dedup.minhash_signatures_sql()
