@@ -1076,14 +1076,16 @@ SELECT count(*) > 0 AS found FROM (
     )
 
     o["dedup_exact"] = dedup.exact_dup_groups_sql(prefix=64)
+    o["dedup_ngram_jaccard"] = dedup.ngram_jaccard_sql()
     o["dedup_minhash_sig"] = dedup.minhash_signatures_sql()
     o["dedup_lsh_pairs"] = dedup.lsh_dup_pairs_sql()
     o["dedup_simhash"] = dedup.simhash_sql()
     o["q_text_stats"] = textstats.text_stats_sql()
     o["q_lang_id"] = textstats.lang_id_sql()
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql([1, 7, 42], k=5)
-    # ann_lsh_topk, mm_image_meta, dedup_ngram_jaccard: no SQL oracle
-    # (LSH hyperplanes / mapInPandas / candidate-dependence) -> rows-only.
+    o["ann_lsh_topk"] = similarity.ann_lsh_topk_sql([1, 7, 42], k=5)
+    # mm_image_meta: no SQL oracle (mapInPandas binary decode) ->
+    # rows-only; semantics covered by pytest (test_operators.py).
     return o
 
 

@@ -195,6 +195,36 @@ FROM {table}
 """
 
 
+def ngram_jaccard_sql(table: str = "documents", text_col: str = "text",
+                      key_col: str = "doc_id",
+                      num_hashes: int = linking.DEFAULT_NUM_HASHES,
+                      band_rows: int = linking.DEFAULT_BAND_ROWS,
+                      threshold: float = 0.5) -> str:
+    """Exact shingle-set Jaccard for the LSH candidate pairs — SQL twin of
+    lsh_dup_pairs + ngram_jaccard_pairs composed."""
+    pairs = lsh_dup_pairs_sql(table, text_col, key_col, num_hashes, band_rows, threshold)
+    return f"""
+WITH {_shingle_cte(table, text_col, key_col)},
+dsh AS (SELECT DISTINCT key, shingle FROM sh),
+sizes AS (SELECT key, count(*) AS n FROM dsh GROUP BY key),
+cand AS (SELECT a, b FROM ({pairs})),
+inter AS (
+  SELECT c.a, c.b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh x ON x.key = c.a
+  JOIN dsh y ON y.key = c.b AND y.shingle = x.shingle
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sizes sa ON sa.key = c.a
+JOIN sizes sb ON sb.key = c.b
+"""
+
+
 # -- exact n-gram Jaccard on candidates ---------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,

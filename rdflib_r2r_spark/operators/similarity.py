@@ -88,6 +88,54 @@ QUALIFY rank <= {k}
 """
 
 
+def ann_lsh_topk_sql(
+    probe_ids: list[int],
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ann_lsh_topk: the md5-seeded hyperplanes are
+    deterministic, so they inline as literal DOUBLE[] arrays."""
+    ids = ", ".join(str(i) for i in probe_ids)
+
+    def dot_hp(vec: str, hp: list[float]) -> str:
+        lits = ", ".join(str(v) for v in hp)
+        return (
+            f"list_sum(list_transform(list_zip({vec}, CAST([{lits}] AS DOUBLE[])),"
+            " x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_hp(vec_col, _hyperplane(b, dim))} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    dot = (
+        f"list_sum(list_transform(list_zip(p.pv, e.{vec_col}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm = lambda v: f"sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"  # noqa: E731
+    return f"""
+WITH b AS (
+  SELECT {id_col}, {vec_col}, {bucket} AS bucket FROM {table}
+),
+p AS (
+  SELECT {id_col} AS probe_id, {vec_col} AS pv, bucket AS pb FROM b WHERE {id_col} IN ({ids})
+),
+scored AS (
+  SELECT p.probe_id, e.{id_col} AS vec_id,
+         round({dot} / ({norm('p.pv')} * {norm(f'e.{vec_col}')}), 6) AS cosine
+  FROM b e JOIN p ON e.bucket = p.pb AND e.{id_col} <> p.probe_id
+)
+SELECT probe_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, cosine
+FROM scored
+WINDOW w AS (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC)
+QUALIFY rank <= {k}
+"""
+
+
 # -- LSH ANN (scale path) ------------------------------------------------------
 
 def _hyperplane(bit: int, dim: int) -> list[float]:
