@@ -275,7 +275,9 @@ class SparkMappingCompiler:
             _null_str().alias("obj_dt"),
             _null_str().alias("obj_lang"),
             gcol.alias("graph"),
-        ).filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+        ).filter(
+            F.col("subj").isNotNull() & F.col("pred").isNotNull() & F.col("obj").isNotNull()
+        )
 
 
 def terms_const_iri_typeobj(cls: str) -> TermMap:

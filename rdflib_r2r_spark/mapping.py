@@ -139,11 +139,15 @@ def direct_mapping(
     tmaps: list[TriplesMap] = []
     for table, schema in schemas.items():
         pk = primary_keys.get(table)
+        # per-table rr:class, as the reference's mapping_from_db always adds
+        # (reference: rdflib_r2r/r2r_mapping.py mg.add((s_map, rr['class'],
+        # base[iri_safe(tablename)]))) — each row gets an rdf:type triple.
+        table_class = (base + terms.iri_safe_py(table),)
         if pk:
             tpl = base + terms.iri_safe_py(table) + "/" + ";".join(
                 f"{terms.iri_safe_py(c)}={{{c}}}" for c in pk
             )
-            smap = SubjectMap(template=tpl, term_type="IRI")
+            smap = SubjectMap(template=tpl, term_type="IRI", classes=table_class)
         else:
             smap = SubjectMap(
                 # BlankNode over all columns: duplicate rows collapse to one
@@ -151,6 +155,7 @@ def direct_mapping(
                 # (docs/test-results/rdb2rdf.md DirectGraphTC0005 note).
                 template="{" + "};{".join(f.name for f in schema.fields) + "}",
                 term_type="BlankNode",
+                classes=table_class,
             )
         poms: list[PredicateObjectMap] = []
         for f in schema.fields:

@@ -54,7 +54,9 @@ def text_stats(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id")
     n_char = F.length(F.col(text_col))
     alnum_sp = F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
     punct_ratio = F.round(
-        (n_char - F.length(alnum_sp)).cast("double") / n_char.cast("double"), 6
+        (n_char - F.length(alnum_sp)).cast("double")
+        / F.greatest(n_char, F.lit(1)).cast("double"),
+        6,
     )
     stop_ratio = F.round(
         _stop_count_col(toks, STOPWORDS["en"]).cast("double")
@@ -91,7 +93,7 @@ def text_stats_sql(table: str = "documents", text_col: str = "text", key_col: st
     n_tok = f"len({toks})"
     n_char = f"length({text_col})"
     alnum_sp = f"regexp_replace({text_col}, '[^a-zA-Z0-9 ]', '', 'g')"
-    punct_ratio = f"round(CAST({n_char} - length({alnum_sp}) AS DOUBLE) / {n_char}, 6)"
+    punct_ratio = f"round(CAST({n_char} - length({alnum_sp}) AS DOUBLE) / greatest({n_char}, 1), 6)"
     stop_ratio = (
         f"round(CAST({_stop_count_sql(toks, STOPWORDS['en'])} AS DOUBLE)"
         f" / greatest({n_tok}, 1), 6)"

@@ -92,12 +92,16 @@ def mapping_to_duckdb_sql(
         qc = lambda c: f"c.{_q(c)}"  # noqa: E731
 
         def scan_arm(subj_sql, pred_sql, obj_sql, dt_sql, lang_sql, g_sql, from_sql):
+            # NULL guard on all three term positions, mirroring the compiler
+            # (a NULL input column produces no triple; constant predicates
+            # fold the guard away).
             arms.append(
                 f"SELECT {subj_sql} AS subj, {pred_sql} AS pred, {obj_sql} AS obj, "
                 f"{dt_sql} AS obj_dt, {lang_sql} AS obj_lang"
                 + (f", {g_sql} AS graph" if with_graph else "")
                 + f" FROM {from_sql}"
-                f" WHERE ({subj_sql}) IS NOT NULL AND ({obj_sql}) IS NOT NULL"
+                f" WHERE ({subj_sql}) IS NOT NULL AND ({pred_sql}) IS NOT NULL"
+                f" AND ({obj_sql}) IS NOT NULL"
             )
 
         subj_sql, _, _ = term_sql(tmap.subject_map, "S", qc)

@@ -138,23 +138,54 @@ def eval_path(triples: DataFrame, path) -> DataFrame:
 
 
 def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
-                       max_iter: int = 20) -> DataFrame:
-    """All (src, dst) pairs connected by >= 1 directed hop — iterative
-    doubling (paths of length 2^k composed each round), localCheckpoint per
-    round to truncate lineage, stop on fixpoint."""
-    reach = edges.select(F.col(src).alias("s"), F.col(dst).alias("o")).distinct()
-    reach = reach.localCheckpoint(eager=True)
-    n = reach.count()
+                       max_iter: int = 50, strategy: str = "frontier") -> DataFrame:
+    """All (src, dst) pairs connected by >= 1 directed hop.
+
+    ``strategy='frontier'`` (default) is semi-naive evaluation: each round
+    joins only the NEW pairs discovered last round against the edge list and
+    anti-joins them against the accumulated reach — per-round shuffle is
+    O(|delta|), not O(|closure|), which is what survives a 100x scale-up
+    (the closure relation itself is the blow-up; re-distincting all of it
+    every round is the scale-killer). ``strategy='doubling'`` composes paths
+    of length 2^k per round — fewer rounds (O(log diameter)), heavier rounds;
+    useful for small, deep graphs. Both localCheckpoint per round to truncate
+    lineage. The reference has no closure support at all ("some day:
+    recursive CTEs", reference: plan.md:22, sql_converter.py:229-230).
+    """
+    base = edges.select(F.col(src).alias("s"), F.col(dst).alias("o")).distinct()
+    base = base.localCheckpoint(eager=True)
+    if strategy == "doubling":
+        reach = base
+        n = reach.count()
+        for _ in range(max_iter):
+            hop = reach.select(F.col("s").alias("_m"), F.col("o").alias("_o"))
+            doubled = (
+                reach.join(hop, reach["o"] == hop["_m"], "inner")
+                .select(reach["s"].alias("s"), F.col("_o").alias("o"))
+            )
+            new_reach = reach.unionByName(doubled).distinct().localCheckpoint(eager=True)
+            n2 = new_reach.count()
+            reach = new_reach
+            if n2 == n:
+                break
+            n = n2
+        return reach.select(F.col("s").alias(src), F.col("o").alias(dst))
+
+    # semi-naive: reach accumulates, frontier = pairs first seen last round
+    edge_hop = base.select(F.col("s").alias("_m"), F.col("o").alias("_o"))
+    reach = base
+    frontier = base
     for _ in range(max_iter):
-        hop = reach.select(F.col("s").alias("_m"), F.col("o").alias("_o"))
-        doubled = (
-            reach.join(hop, reach["o"] == hop["_m"], "inner")
-            .select(reach["s"].alias("s"), F.col("_o").alias("o"))
+        extended = (
+            frontier.join(edge_hop, frontier["o"] == edge_hop["_m"], "inner")
+            .select(frontier["s"].alias("s"), F.col("_o").alias("o"))
+            .distinct()
         )
-        new_reach = reach.unionByName(doubled).distinct().localCheckpoint(eager=True)
-        n2 = new_reach.count()
-        reach = new_reach
-        if n2 == n:
+        # anti-join the small delta against reach — shuffles the delta plus
+        # one pass over reach's join column, never re-distincts the closure
+        new_pairs = extended.join(reach, ["s", "o"], "left_anti").localCheckpoint(eager=True)
+        if new_pairs.isEmpty():
             break
-        n = n2
+        reach = reach.unionByName(new_pairs).localCheckpoint(eager=True)
+        frontier = new_pairs
     return reach.select(F.col("s").alias(src), F.col("o").alias(dst))

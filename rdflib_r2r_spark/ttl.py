@@ -223,8 +223,13 @@ def _term_map(g: _G, node: _Term, const_shortcut: _Term | None = None) -> TermMa
     dt = g.obj(node, "datatype")
     lang = g.obj(node, "language")
     parent = g.obj(node, "parentTriplesMap")
+    # Quoted-identifier style (rr:child "\"ENAME\"") is normalized the same
+    # way rr:tableName is — Spark schemas hold unquoted names.
     jcs = tuple(
-        JoinCondition(child=g.obj(jc, "child").value, parent=g.obj(jc, "parent").value)
+        JoinCondition(
+            child=g.obj(jc, "child").value.strip('"'),
+            parent=g.obj(jc, "parent").value.strip('"'),
+        )
         for jc in g.objs(node, "joinCondition")
     )
     if const is not None:
@@ -235,9 +240,13 @@ def _term_map(g: _G, node: _Term, const_shortcut: _Term | None = None) -> TermMa
                        language=const.language or (lang.value if lang else None))
     col = g.obj(node, "column")
     tpl = g.obj(node, "template")
+    tpl_value = None
+    if tpl:
+        # de-quote template slots written as {"col"} (quoted-identifier style)
+        tpl_value = re.sub(r'\{"([^"}]+)"\}', r"{\1}", tpl.value)
     return TermMap(
-        column=col.value if col else None,
-        template=tpl.value if tpl else None,
+        column=col.value.strip('"') if col else None,
+        template=tpl_value,
         term_type=ttype,
         datatype=dt.value if dt else None,
         language=lang.value if lang else None,

@@ -47,10 +47,15 @@ def build_alias_dict(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("t"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    # Top-size via orderBy+limit = TakeOrderedAndProject (fully distributed,
+    # per-partition top-k then merge) — the full counts table never goes
+    # through a global single-partition Window. Ranking then runs over the
+    # <=size-row result only; the constant partition key keeps WindowExec off
+    # its unpartitioned path (no single-task scale hazard: input is bounded).
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(size)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        counts.withColumn("entity_id", F.row_number().over(w))
-        .filter(F.col("entity_id") <= size)
+        top.withColumn("entity_id", F.row_number().over(w))
         .crossJoin(total)
         .select(
             F.col("token").alias("alias"),
