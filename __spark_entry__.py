@@ -39,6 +39,7 @@ from rdflib_r2r_spark.rewrites import add_chain_maps
 from rdflib_r2r_spark.oracle import mapping_to_duckdb_sql
 from rdflib_r2r_spark.templates import invert_template_py
 from rdflib_r2r_spark.terms import iri_unsafe_py
+from rdflib_r2r_spark.sparql import SparkR2RStore
 from rdflib_r2r_spark.web import mentions as men, pages as pg
 from rdflib_r2r_spark.web.extract import extract_text
 
@@ -177,6 +178,56 @@ def chain_tmaps() -> list[TriplesMap]:
         column_datatypes={"nation": {"n_regionkey": terms.XSD_INTEGER},
                           "region": {"r_regionkey": terms.XSD_INTEGER}},
     )
+
+
+def _quads_tmaps() -> list[TriplesMap]:
+    """Named-graph mapping over nation (shared by kg_graph_quads and
+    sparql_graph_quads)."""
+    return [
+        TriplesMap(
+            name="nation_quads",
+            source=LogicalSource(table="nation"),
+            subject_map=SubjectMap(template=EX + "nation/{n_nationkey}"),
+            pomaps=(
+                PredicateObjectMap(
+                    predicates=(const_iri(EX + "name"),),
+                    objects=(TermMap(column="n_name"),),
+                    graphs=(const_iri(EX + "g/names"),),
+                ),
+                PredicateObjectMap(
+                    predicates=(const_iri(EX + "nationkey"),),
+                    objects=(TermMap(column="n_nationkey", datatype=terms.XSD_INTEGER),),
+                    graphs=(const_iri(EX + "g/keys"),),
+                ),
+            ),
+        )
+    ]
+
+
+# rr:sqlQuery source shared by Spark and the DuckDB oracle — must parse in
+# both engines (floor/CAST are the portable integer-halving spelling)
+EDGES_SQL = (
+    "SELECT DISTINCT user_id AS src, CAST(floor(user_id / 2.0) AS BIGINT) AS dst "
+    "FROM events WHERE user_id > 0"
+)
+
+
+def _edges_tmaps() -> list[TriplesMap]:
+    """Ancestor-edge mapping over a synthetic halving graph, used by the
+    transitive-closure SPARQL query (`+` paths — reference gap, plan.md:22)."""
+    return [
+        TriplesMap(
+            name="edges",
+            source=LogicalSource(sql_query=EDGES_SQL),
+            subject_map=SubjectMap(template=EX + "u/{src}"),
+            pomaps=(
+                PredicateObjectMap(
+                    predicates=(const_iri(EX + "anc"),),
+                    objects=(TermMap(template=EX + "u/{dst}", term_type="IRI"),),
+                ),
+            ),
+        )
+    ]
 
 
 LOOKUP_ORDERKEY = 1317
@@ -643,6 +694,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_construct"] = q_construct
 
+    # ---- SPARQL text front end (A13/A14 + all of 2.A through SPARQL) ----
+    # Each sparql_* query re-authors a contract operator as a SPARQL string
+    # through parse -> algebra -> mapping-compiled DataFrames
+    # (reference: r2r_store.py:59-93 query; sql_converter.py:269-329).
+    def _geo_store(spark, sf) -> SparkR2RStore:
+        return SparkR2RStore(
+            spark,
+            {n: _t(spark, sf, n) for n in ("nation", "region")},
+            geo_tmaps(),
+            init_ns={"ex": EX},
+        )
+
+    def sparql_star_filter(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?s ?n ?k { ?s a ex:Nation ; ex:name ?n ; ex:nationkey ?k "
+            "FILTER(?k >= 10) }"
+        )
+
+    q["sparql_star_filter"] = sparql_star_filter
+
+    def sparql_join_ref(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?n ?rn { ?s ex:name ?n ; ex:inRegion ?r . ?r ex:name ?rn }"
+        )
+
+    q["sparql_join_ref"] = sparql_join_ref
+
+    def sparql_const_subject(spark, sf):
+        return _geo_store(spark, sf).query(
+            f"SELECT ?n ?k {{ <{EX}nation/7> ex:name ?n ; ex:nationkey ?k }}"
+        )
+
+    q["sparql_const_subject"] = sparql_const_subject
+
+    def sparql_optional(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?n ?k { ?s ex:name ?n OPTIONAL { ?s ex:nationkey ?k } }"
+        )
+
+    q["sparql_optional"] = sparql_optional
+
+    def sparql_union(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?x { { ?s ex:name ?x } UNION { ?s ex:nationkey ?x } }"
+        )
+
+    q["sparql_union"] = sparql_union
+
+    def sparql_minus(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?s ?n { ?s ex:name ?n MINUS { ?s ex:nationkey ?k } }"
+        )
+
+    q["sparql_minus"] = sparql_minus
+
+    def sparql_agg_having(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?rn (COUNT(?s) AS ?c) { ?s ex:inRegion ?r . ?r ex:name ?rn } "
+            "GROUP BY ?rn HAVING (COUNT(?s) >= 5)"
+        )
+
+    q["sparql_agg_having"] = sparql_agg_having
+
+    def sparql_orderby_slice(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?k ?n { ?s ex:nationkey ?k ; ex:name ?n } "
+            "ORDER BY DESC(?k) LIMIT 10 OFFSET 5"
+        )
+
+    q["sparql_orderby_slice"] = sparql_orderby_slice
+
+    def sparql_distinct(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT DISTINCT ?rn { ?s ex:inRegion ?r . ?r ex:name ?rn }"
+        )
+
+    q["sparql_distinct"] = sparql_distinct
+
+    def sparql_values_join(spark, sf):
+        return _geo_store(spark, sf).query(
+            'SELECT ?s ?rn { ?s ex:name ?rn VALUES ?rn { "ASIA" "EUROPE" } }'
+        )
+
+    q["sparql_values_join"] = sparql_values_join
+
+    def sparql_exists(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?s ?n { ?s ex:name ?n FILTER EXISTS { ?s ex:nationkey ?k } }"
+        )
+
+    q["sparql_exists"] = sparql_exists
+
+    def sparql_path_seq(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?s ?o { ?s ex:inRegion/ex:name ?o }"
+        )
+
+    q["sparql_path_seq"] = sparql_path_seq
+
+    def sparql_bind(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?s ?nk2 { ?s ex:nationkey ?k . BIND(?k * 2 AS ?nk2) }"
+        )
+
+    q["sparql_bind"] = sparql_bind
+
+    def sparql_subselect(spark, sf):
+        return _geo_store(spark, sf).query(
+            "SELECT ?rn ?c { { SELECT ?r (COUNT(?s) AS ?c) { ?s ex:inRegion ?r } "
+            "GROUP BY ?r } ?r ex:name ?rn }"
+        )
+
+    q["sparql_subselect"] = sparql_subselect
+
+    def sparql_construct(spark, sf):
+        return _geo_store(spark, sf).query(
+            "CONSTRUCT { ?s ex:label ?n } WHERE { ?s a ex:Region ; ex:name ?n }"
+        )
+
+    q["sparql_construct"] = sparql_construct
+
+    def sparql_ask(spark, sf):
+        return _geo_store(spark, sf).query('ASK { ?s ex:name "ASIA" }')
+
+    q["sparql_ask"] = sparql_ask
+
+    def sparql_graph_quads(spark, sf):
+        store = SparkR2RStore(
+            spark, {"nation": _t(spark, sf, "nation")}, _quads_tmaps(),
+            init_ns={"ex": EX},
+        )
+        return store.query(
+            f"SELECT ?s ?n {{ GRAPH <{EX}g/names> {{ ?s ex:name ?n }} }}"
+        )
+
+    q["sparql_graph_quads"] = sparql_graph_quads
+
+    def sparql_closure(spark, sf):
+        store = SparkR2RStore(
+            spark, {"events": _t(spark, sf, "events")}, _edges_tmaps(),
+            init_ns={"ex": EX},
+        )
+        return store.query("SELECT ?a ?b { ?a ex:anc+ ?b }")
+
+    q["sparql_closure"] = sparql_closure
+
     # ---- TPC-H classics (bench headliners) ----
     def q_tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -971,6 +1168,104 @@ FROM g GROUP BY user_id
 
     o["q_json_extract"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+"""
+
+    # ---- SPARQL front-end twins: each oracle re-derives the same answer
+    # from the raw tables (term vars are term-encoded strings; expression
+    # vars are native-typed, mirroring the evaluator's output contract) ----
+    nation_subj = f"'<{EX}nation/' || CAST(n_nationkey AS STRING) || '>'"
+    region_subj = f"'<{EX}region/' || CAST(r_regionkey AS STRING) || '>'"
+
+    o["sparql_star_filter"] = f"""
+SELECT {nation_subj} AS s, n_name AS n, CAST(n_nationkey AS STRING) AS k
+FROM nation WHERE n_nationkey >= 10
+"""
+
+    o["sparql_join_ref"] = """
+SELECT n_name AS n, r_name AS rn FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+    o["sparql_const_subject"] = """
+SELECT n_name AS n, CAST(n_nationkey AS STRING) AS k FROM nation WHERE n_nationkey = 7
+"""
+
+    o["sparql_optional"] = """
+SELECT n_name AS n, CAST(n_nationkey AS STRING) AS k FROM nation
+UNION ALL
+SELECT r_name AS n, CAST(NULL AS STRING) AS k FROM region
+"""
+
+    o["sparql_union"] = """
+SELECT n_name AS x FROM nation
+UNION ALL SELECT r_name FROM region
+UNION ALL SELECT CAST(n_nationkey AS STRING) FROM nation
+"""
+
+    o["sparql_minus"] = f"""
+SELECT {region_subj} AS s, r_name AS n FROM region
+"""
+
+    o["sparql_agg_having"] = """
+SELECT r_name AS rn, CAST(count(*) AS BIGINT) AS c
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name HAVING count(*) >= 5
+"""
+
+    o["sparql_orderby_slice"] = """
+SELECT CAST(n_nationkey AS STRING) AS k, n_name AS n FROM nation
+ORDER BY n_nationkey DESC LIMIT 10 OFFSET 5
+"""
+
+    o["sparql_distinct"] = """
+SELECT DISTINCT r_name AS rn FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+    o["sparql_values_join"] = f"""
+SELECT {region_subj} AS s, r_name AS rn FROM region WHERE r_name IN ('ASIA', 'EUROPE')
+"""
+
+    o["sparql_exists"] = f"""
+SELECT {nation_subj} AS s, n_name AS n FROM nation
+"""
+
+    o["sparql_path_seq"] = f"""
+SELECT {nation_subj} AS s, r_name AS o
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+    o["sparql_bind"] = f"""
+SELECT {nation_subj} AS s, CAST(n_nationkey * 2 AS DOUBLE) AS nk2 FROM nation
+"""
+
+    o["sparql_subselect"] = """
+SELECT r_name AS rn, CAST(count(*) AS BIGINT) AS c
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    o["sparql_construct"] = f"""
+SELECT DISTINCT {region_subj} AS subj, '<{EX}label>' AS pred, r_name AS obj,
+       CAST(NULL AS STRING) AS obj_dt, CAST(NULL AS STRING) AS obj_lang,
+       CAST(NULL AS STRING) AS graph
+FROM region
+"""
+
+    o["sparql_ask"] = "SELECT count(*) > 0 AS found FROM region WHERE r_name = 'ASIA'"
+
+    o["sparql_graph_quads"] = f"""
+SELECT {nation_subj} AS s, n_name AS n FROM nation WHERE n_name IS NOT NULL
+"""
+
+    o["sparql_closure"] = f"""
+WITH RECURSIVE e AS ({EDGES_SQL}),
+r(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+)
+SELECT '<{EX}u/' || CAST(src AS STRING) || '>' AS a,
+       '<{EX}u/' || CAST(dst AS STRING) || '>' AS b
+FROM r
 """
 
     o["q_tpch_q1"] = f"""

@@ -19,7 +19,17 @@ from rdflib_r2r_spark.mapping import TermMap, TriplesMap
 from rdflib_r2r_spark.templates import template_to_sql
 
 
+import re as _re
+
+_SIMPLE_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _q(ident: str) -> str:
+    # simple identifiers stay bare so the emitted SQL runs on BOTH DuckDB
+    # (double-quote dialect) and Spark (backtick dialect); exotic names get
+    # double quotes (DuckDB always, Spark with ansi.doubleQuotedIdentifiers)
+    if _SIMPLE_IDENT.match(ident):
+        return ident
     return '"' + ident.replace('"', '""') + '"'
 
 
@@ -29,9 +39,9 @@ def _sq(s: str) -> str:
 
 def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
     ttype = tm.inferred_term_type(position)
-    dt = _sq(tm.datatype) if tm.datatype else "CAST(NULL AS VARCHAR)"
-    lang = _sq(tm.language) if tm.language else "CAST(NULL AS VARCHAR)"
-    null_s = "CAST(NULL AS VARCHAR)"
+    dt = _sq(tm.datatype) if tm.datatype else "CAST(NULL AS STRING)"
+    lang = _sq(tm.language) if tm.language else "CAST(NULL AS STRING)"
+    null_s = "CAST(NULL AS STRING)"
 
     if tm.constant is not None:
         if ttype == "RawIRI":  # pre-rendered lexical (chain predicates)
@@ -43,7 +53,7 @@ def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
         return _sq(tm.constant), dt, lang
 
     if tm.column is not None:
-        col = f"CAST({qualify(tm.column)} AS VARCHAR)"
+        col = f"CAST({qualify(tm.column)} AS STRING)"
         if ttype == "IRI":
             return f"'<' || {col} || '>'", null_s, null_s
         if ttype == "BlankNode":
@@ -80,7 +90,7 @@ def mapping_to_duckdb_sql(
     order-insensitive), but the row SETS are identical."""
     table_names = table_names or {}
     by_name = {tm.name: tm for tm in tmaps}
-    null_s = "CAST(NULL AS VARCHAR)"
+    null_s = "CAST(NULL AS STRING)"
     arms: list[str] = []
 
     def graph_terms(tmap, pom):

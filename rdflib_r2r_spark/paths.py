@@ -80,10 +80,15 @@ def resolve_paths(bgp: list[tuple], fresh=None):
         yield []
         return
     (s, p, o), rest = bgp[0], list(bgp[1:])
-    p = _lift(p) if not isinstance(p, (Pred, Seq, Alt, Inv)) else p
+    p = _lift(p) if isinstance(p, str) else p
     if isinstance(p, Pred):
         for tail in resolve_paths(rest, fresh):
             yield [(s, p.iri, o)] + tail
+    elif not isinstance(p, (Seq, Alt, Inv)):
+        # atomic non-rewritable predicate (variable, closure, ...): pass
+        # through unchanged; the runtime layer evaluates it
+        for tail in resolve_paths(rest, fresh):
+            yield [(s, p, o)] + tail
     elif isinstance(p, Seq):
         replacement = []
         subj = s

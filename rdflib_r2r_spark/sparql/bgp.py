@@ -1,0 +1,538 @@
+"""Compile SPARQL basic graph patterns directly against the R2RML mapping.
+
+This is the reference's core query algorithm (reference:
+rdflib_r2r/sql_converter.py:291-329 ``queryBGP``: enumerate every consistent
+assignment of triple patterns to triples-map arms, emit one SELECT per
+assignment, UNION ALL them) re-expressed as DataFrame plans:
+
+- **Predicate index**: a pattern with a constant predicate only ever touches
+  the arms that can produce that predicate — no scan of the full dump.
+- **Star merging**: all patterns sharing a subject term and assigned to the
+  same triples-map read ONE scan of the logical source (the reference's
+  same-alias merge, sql_converter.py:427-455); a referencing-object arm's
+  parent slot merges with the star of the object variable when the parent
+  map matches, so ``?n ex:inRegion ?r . ?r ex:name ?rn`` is a single
+  child->parent join, not a three-way self-join.
+- **Constant pushdown**: constant subjects/objects are inverted through the
+  term-map template (reference: rdflib_r2r/sql_converter.py:148-161,
+  conversion_utils.py:517-531) into typed filters on raw columns, so the
+  parquet scan sees ``o_orderkey = 1317``, never a string-concat comparison.
+- **Raw-key joins**: shared variables between slots join on raw columns
+  whenever both renders are the same template skeleton or same-typed columns
+  (the reference's template-aware equality, conversion_utils.py:293-353);
+  rendered-lexical equality is the fallback.
+
+Variables surface as term-encoded columns ``{v}`` plus ``{v}__dt`` /
+``{v}__lang`` / ``{v}__num`` (numeric shadow for typed filters/aggregates).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.compiler import SparkMappingCompiler
+from rdflib_r2r_spark.mapping import TermMap, TriplesMap, xsd_for_spark_type
+from rdflib_r2r_spark.sparql.ast_nodes import BNodeT, IRI, Lit, Var
+from rdflib_r2r_spark.sparql.parser import RDF_TYPE, SparqlNotImplemented
+from rdflib_r2r_spark.templates import (
+    invert_template_py,
+    parse_template,
+    templates_compatible,
+)
+from rdflib_r2r_spark.terms import iri_unsafe_py
+
+MAX_ASSIGNMENTS = 5000
+
+_NUMERIC_XSD = {
+    terms.XSD_INTEGER, terms.XSD_DOUBLE, terms.XSD_DECIMAL,
+    terms.XSD + "float", terms.XSD + "int", terms.XSD + "long",
+}
+
+_NUMERIC_SPARK = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+class _Prune(Exception):
+    """Assignment is inconsistent — contributes no rows."""
+
+
+# --------------------------------------------------------------------------
+# arm model (one per (triples-map, predicate, object) like the dump compiler)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Arm:
+    tmap: TriplesMap
+    pred_tm: TermMap  # constant for class arms (rdf:type)
+    obj_tm: TermMap
+    graph_tm: TermMap | None
+    parent: TriplesMap | None  # set for referencing-object arms
+
+
+def enumerate_arms(tmaps: list[TriplesMap]) -> list[Arm]:
+    by_name = {tm.name: tm for tm in tmaps}
+    arms: list[Arm] = []
+    for tmap in tmaps:
+        graphs = tuple(tmap.subject_map.graphs)
+        for cls in tmap.subject_map.classes:
+            arms.append(
+                Arm(
+                    tmap=tmap,
+                    pred_tm=TermMap(constant=RDF_TYPE, term_type="IRI"),
+                    obj_tm=TermMap(constant=cls, term_type="IRI"),
+                    graph_tm=graphs[0] if graphs else None,
+                    parent=None,
+                )
+            )
+        for pom in tmap.pomaps:
+            pgraphs = tuple(pom.graphs) + graphs
+            for pred in pom.predicates:
+                for obj in pom.objects:
+                    for g in (list(pgraphs) or [None]):
+                        parent = (
+                            by_name[obj.parent_triples_map]
+                            if obj.parent_triples_map is not None
+                            else None
+                        )
+                        arms.append(Arm(tmap, pred, obj, g, parent))
+    return arms
+
+
+# --------------------------------------------------------------------------
+# slots: one aliased scan of a logical source per (term, tmap) group
+# --------------------------------------------------------------------------
+
+@dataclass
+class Slot:
+    alias: str
+    df: DataFrame
+    types: dict  # column -> spark DataType
+
+    def col(self, name: str) -> Column:
+        return F.col(f"{self.alias}.{name}")
+
+
+@dataclass
+class Occurrence:
+    """One rendering of a variable: a term map evaluated in a slot."""
+
+    tm: TermMap
+    slot: Slot
+    position: str  # S/P/O/G
+
+
+def _term_key(t) -> tuple:
+    if isinstance(t, Var):
+        return ("v", t.name)
+    if isinstance(t, BNodeT):
+        return ("v", "__bn_" + t.label)
+    if isinstance(t, IRI):
+        return ("c", t.value)
+    return ("l", getattr(t, "value", str(t)), getattr(t, "datatype", None))
+
+
+def _tm_render_kind(tm: TermMap, position: str) -> str:
+    return tm.inferred_term_type(position)
+
+
+def _effective_dt(tm: TermMap, slot: Slot) -> str | None:
+    if tm.datatype:
+        return tm.datatype
+    if tm.column is not None and tm.column in slot.types:
+        return xsd_for_spark_type(slot.types[tm.column])
+    return None
+
+
+class BGPCompiler:
+    """Compiles a list of (s, p_iri, o) patterns (constant predicates) into
+    one DataFrame of variable bindings."""
+
+    def __init__(self, spark: SparkSession, tmaps: list[TriplesMap],
+                 compiler: SparkMappingCompiler):
+        self.spark = spark
+        self.tmaps = tmaps
+        self.compiler = compiler
+        self.arms = enumerate_arms(tmaps)
+        self._alias_n = 0
+
+    # -- candidate matching ---------------------------------------------------
+
+    def _pred_matches(self, arm: Arm, p) -> bool:
+        if isinstance(p, Var):
+            return True
+        assert isinstance(p, IRI)
+        if arm.pred_tm.constant is not None:
+            return arm.pred_tm.constant == p.value
+        # template/column predicate maps can in principle produce any IRI;
+        # keep the arm and add a render-equality condition later
+        return True
+
+    def _subject_static_ok(self, arm: Arm, s) -> bool:
+        if isinstance(s, (Var, BNodeT)):
+            return True
+        if isinstance(s, Lit):
+            return False
+        sm = arm.tmap.subject_map
+        if sm.inferred_term_type("S") != "IRI":
+            return False
+        if sm.constant is not None:
+            return sm.constant == s.value
+        if sm.template is not None:
+            return invert_template_py(s.value, sm.template) is not None
+        return True  # column-IRI: runtime filter
+
+    def _object_static_ok(self, arm: Arm, o) -> bool:
+        if isinstance(o, (Var, BNodeT)):
+            return True
+        if arm.parent is not None:
+            # referencing-object arm renders the parent subject IRI
+            if not isinstance(o, IRI):
+                return False
+            psm = arm.parent.subject_map
+            if psm.template is not None:
+                return invert_template_py(o.value, psm.template) is not None
+            return True
+        tm = arm.obj_tm
+        kind = tm.inferred_term_type("O")
+        if isinstance(o, IRI):
+            if kind != "IRI":
+                return False
+            if tm.constant is not None:
+                return tm.constant == o.value
+            if tm.template is not None:
+                return invert_template_py(o.value, tm.template) is not None
+            return True
+        # literal object
+        if kind != "Literal":
+            return False
+        if tm.constant is not None:
+            return tm.constant == o.value
+        return True
+
+    def candidates(self, s, p, o, g) -> list[Arm]:
+        out = []
+        for arm in self.arms:
+            if not self._pred_matches(arm, p):
+                continue
+            if not self._subject_static_ok(arm, s):
+                continue
+            if not self._object_static_ok(arm, o):
+                continue
+            # graph dispatch: GRAPH-scoped patterns only match arms with a
+            # graph map; default-graph patterns only match arms without one
+            if g is None and arm.graph_tm is not None:
+                continue
+            if g is not None and arm.graph_tm is None:
+                continue
+            if isinstance(g, IRI) and arm.graph_tm is not None and \
+                    arm.graph_tm.constant is not None and arm.graph_tm.constant != g.value:
+                continue
+            out.append(arm)
+        return out
+
+    # -- one assignment -> DataFrame -------------------------------------------
+
+    def _new_slot(self, source) -> Slot:
+        self._alias_n += 1
+        alias = f"bgp{self._alias_n}"
+        src = self.compiler.source_df(source)
+        return Slot(alias=alias, df=src.alias(alias),
+                    types={f.name: f.dataType for f in src.schema.fields})
+
+    def _typed_lit(self, value: str, col: str, slot: Slot) -> Column:
+        dtype = slot.types.get(col)
+        lit = F.lit(value)
+        if dtype is not None:
+            if isinstance(dtype, _NUMERIC_SPARK):
+                return F.lit(float(value) if "." in value or "e" in value.lower() else int(value)).cast(dtype)
+            return lit.cast(dtype)
+        return lit
+
+    def _invert_filters(self, const: str, template: str, slot: Slot) -> list[Column]:
+        binding = invert_template_py(const, template)
+        if binding is None:
+            raise _Prune()
+        return [
+            slot.col(c) == self._typed_lit(iri_unsafe_py(raw), c, slot)
+            for c, raw in binding.items()
+        ]
+
+    def _const_conditions(self, term, tm: TermMap, slot: Slot, position: str) -> list[Column]:
+        """Conditions binding a constant pattern term to a term map."""
+        kind = tm.inferred_term_type(position)
+        if isinstance(term, IRI):
+            if kind != "IRI":
+                raise _Prune()
+            if tm.constant is not None:
+                if tm.constant != term.value:
+                    raise _Prune()
+                return []
+            if tm.template is not None:
+                return self._invert_filters(term.value, tm.template, slot)
+            if tm.column is not None:
+                return [slot.col(tm.column).cast("string") == F.lit(term.value)]
+            raise _Prune()
+        if isinstance(term, Lit):
+            if kind != "Literal":
+                raise _Prune()
+            if tm.constant is not None:
+                if tm.constant != term.value:
+                    raise _Prune()
+                return []
+            if tm.column is not None:
+                return [slot.col(tm.column) == self._typed_lit(term.value, tm.column, slot)]
+            if tm.template is not None:
+                return self._invert_filters(term.value, tm.template, slot)
+        raise _Prune()
+
+    def _unify(self, a: Occurrence, b: Occurrence) -> list[Column]:
+        """Equality conditions making two renderings of one variable agree.
+
+        Raw-column equality whenever the renders share a template skeleton or
+        are same-typed columns (equality of raw values <=> equality of the
+        injective rendered lexical); rendered-lexical equality otherwise.
+        """
+        ta, tb = a.tm, b.tm
+        ka = _tm_render_kind(ta, a.position)
+        kb = _tm_render_kind(tb, b.position)
+        if {ka, kb} == {"IRI", "Literal"} or "BlankNode" in (ka, kb) and ka != kb:
+            raise _Prune()
+        if ta.constant is not None and tb.constant is not None:
+            if ta.constant != tb.constant:
+                raise _Prune()
+            return []
+        if ta.constant is not None:
+            term = IRI(ta.constant) if ka == "IRI" else Lit(ta.constant)
+            return self._const_conditions(term, tb, b.slot, b.position)
+        if tb.constant is not None:
+            term = IRI(tb.constant) if kb == "IRI" else Lit(tb.constant)
+            return self._const_conditions(term, ta, a.slot, a.position)
+        if ta.template is not None and tb.template is not None:
+            if not templates_compatible(ta.template, tb.template):
+                # different skeletons never render equal IRIs in practice —
+                # the reference prunes these assignments too
+                # (conversion_utils.py try_match_templates)
+                raise _Prune()
+            args_a = [p.column for p in parse_template(ta.template) if p.column]
+            args_b = [p.column for p in parse_template(tb.template) if p.column]
+            return [
+                self._col_eq(a.slot, ca, b.slot, cb)
+                for ca, cb in zip(args_a, args_b)
+            ]
+        if ta.column is not None and tb.column is not None:
+            return [self._col_eq(a.slot, ta.column, b.slot, tb.column)]
+        # mixed template/column: fall back to rendered equality
+        lex_a = self._render(a)[0]
+        lex_b = self._render(b)[0]
+        return [lex_a == lex_b]
+
+    def _col_eq(self, sa: Slot, ca: str, sb: Slot, cb: str) -> Column:
+        if type(sa.types.get(ca)) is type(sb.types.get(cb)):
+            return sa.col(ca) == sb.col(cb)
+        return sa.col(ca).cast("string") == sb.col(cb).cast("string")
+
+    def _render(self, occ: Occurrence) -> tuple[Column, Column, Column]:
+        return self.compiler.term_columns(
+            occ.tm, occ.position, lambda c: occ.slot.col(c), occ.slot.types
+        )
+
+    def _num_col(self, occ: Occurrence, lex: Column) -> Column:
+        tm = occ.tm
+        if tm.column is not None and isinstance(occ.slot.types.get(tm.column), _NUMERIC_SPARK):
+            return occ.slot.col(tm.column).cast("double")
+        dt = _effective_dt(tm, occ.slot)
+        if _tm_render_kind(tm, occ.position) == "Literal" and (dt is None or dt in _NUMERIC_XSD):
+            return lex.try_cast("double")
+        return F.lit(None).cast("double")
+
+    def compile_assignment(self, patterns: list, assignment: list[Arm],
+                           graph_term) -> DataFrame | None:
+        """One consistent assignment -> joined/filtered DataFrame, or None
+        if statically inconsistent."""
+        # slot keying merges stars AND parent slots with object-variable stars
+        slots: dict[tuple, Slot] = {}
+        occurrences: dict[str, list[Occurrence]] = {}
+        conditions: list[tuple[Slot | None, Slot | None, Column]] = []
+        null_guards: list[tuple[Occurrence]] = []
+
+        def slot_for(term, tmap: TriplesMap) -> Slot:
+            key = (_term_key(term), tmap.name, tmap.source.key())
+            if key not in slots:
+                slots[key] = self._new_slot(tmap.source)
+            return slots[key]
+
+        def add_occ(term, tm: TermMap, slot: Slot, position: str) -> None:
+            occ = Occurrence(tm=tm, slot=slot, position=position)
+            if isinstance(term, (Var, BNodeT)):
+                name = term.name if isinstance(term, Var) else "__bn_" + term.label
+                occurrences.setdefault(name, []).append(occ)
+            else:
+                for cond in self._const_conditions(term, tm, slot, position):
+                    conditions.append((slot, slot, cond))
+            null_guards.append((occ,))
+
+        try:
+            for (s, p, o), arm in zip(patterns, assignment):
+                child = slot_for(s, arm.tmap)
+                add_occ(s, arm.tmap.subject_map, child, "S")
+                add_occ(p, arm.pred_tm, child, "P")
+                if graph_term is not None and arm.graph_tm is not None:
+                    add_occ(graph_term, arm.graph_tm, child, "G")
+                if arm.parent is not None:
+                    if arm.obj_tm.join_conditions:
+                        parent = slot_for(o, arm.parent)
+                        for jc in arm.obj_tm.join_conditions:
+                            conditions.append(
+                                (child, parent, self._col_eq(child, jc.child, parent, jc.parent))
+                            )
+                        add_occ(o, arm.parent.subject_map, parent, "S")
+                    else:
+                        # same-table referencing map: same row, no join
+                        add_occ(o, arm.parent.subject_map, child, "S")
+                else:
+                    add_occ(o, arm.obj_tm, child, "O")
+
+            # unify shared variables (pairwise against the first occurrence)
+            for _name, occs in occurrences.items():
+                first = occs[0]
+                for other in occs[1:]:
+                    for cond in self._unify(first, other):
+                        conditions.append((first.slot, other.slot, cond))
+        except _Prune:
+            return None
+
+        # fold slots along the condition graph (equality conds become join
+        # conditions; single-slot conds become filters; disconnected slots
+        # cross-join, which only happens for genuinely disconnected patterns)
+        slot_list = list(slots.values())
+        parent_of: dict[str, str] = {s.alias: s.alias for s in slot_list}
+
+        def find(a: str) -> str:
+            while parent_of[a] != a:
+                parent_of[a] = parent_of[parent_of[a]]
+                a = parent_of[a]
+            return a
+
+        frames: dict[str, DataFrame] = {s.alias: s.df for s in slot_list}
+        pending = list(conditions)
+        while True:
+            # same-component conditions become filters (applied and dropped);
+            # all conditions between the same two components become ONE join
+            # with an ANDed condition
+            by_pair: dict[tuple, list] = {}
+            for sa, sb, cond in pending:
+                ra, rb = find(sa.alias), find(sb.alias)
+                if ra == rb:
+                    frames[ra] = frames[ra].filter(cond)
+                else:
+                    by_pair.setdefault(tuple(sorted((ra, rb))), []).append((sa, sb, cond))
+            if not by_pair:
+                break
+            # merge exactly one pair per round, then re-bucket (other pairs
+            # may have become same-component and must turn into filters)
+            (ra, rb), items = sorted(by_pair.items())[0]
+            frames[ra] = frames[ra].join(
+                frames[rb], on=_and_all([c for _, _, c in items]), how="inner"
+            )
+            parent_of[rb] = ra
+            pending = [t for pair, its in by_pair.items() if pair != (ra, rb) for t in its]
+
+        roots = {find(s.alias) for s in slot_list}
+        if not roots:
+            df = self.spark.range(1).select(F.lit(1).alias("__one"))
+        else:
+            it = iter(sorted(roots))
+            df = frames[next(it)]
+            for r in it:
+                df = df.crossJoin(frames[r])
+
+        # project variables (first occurrence; all are condition-equal)
+        out_cols: list[Column] = []
+        guards: list[Column] = []
+        for name, occs in occurrences.items():
+            occ = occs[0]
+            lex, dt, lang = self._render(occ)
+            out_cols.extend(
+                [
+                    lex.alias(name),
+                    dt.alias(f"{name}__dt"),
+                    lang.alias(f"{name}__lang"),
+                    self._num_col(occ, lex).alias(f"{name}__num"),
+                ]
+            )
+        # R2RML NULL guard: every term of every matched triple is non-NULL
+        for (occ,) in null_guards:
+            lex, _, _ = self._render(occ)
+            guards.append(lex.isNotNull())
+        if not out_cols:
+            out_cols = [F.lit(1).alias("__one")]
+        out = df
+        for gcond in guards:
+            out = out.filter(gcond)
+        return out.select(*out_cols)
+
+    def compile(self, patterns: list, graph_term=None) -> tuple[DataFrame, set[str]]:
+        """All consistent assignments, UNION ALLed. Returns (df, var names)."""
+        var_names: set[str] = set()
+        for s, p, o in patterns:
+            for t in (s, p, o):
+                if isinstance(t, Var):
+                    var_names.add(t.name)
+                elif isinstance(t, BNodeT):
+                    var_names.add("__bn_" + t.label)
+        if isinstance(graph_term, Var):
+            var_names.add(graph_term.name)
+
+        cand_lists = [self.candidates(s, p, o, graph_term) for (s, p, o) in patterns]
+        n_assignments = 1
+        for c in cand_lists:
+            n_assignments *= max(len(c), 1)
+        if n_assignments > MAX_ASSIGNMENTS:
+            raise SparqlNotImplemented(
+                f"BGP has {n_assignments} arm assignments (> {MAX_ASSIGNMENTS})"
+            )
+
+        parts: list[DataFrame] = []
+        for assignment in itertools.product(*cand_lists):
+            if len(assignment) != len(patterns):
+                continue
+            df = self.compile_assignment(patterns, list(assignment), graph_term)
+            if df is not None:
+                parts.append(df)
+
+        if not parts:
+            return self._empty(var_names), var_names
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out, var_names
+
+    def _empty(self, var_names: set[str]) -> DataFrame:
+        fields = []
+        for v in sorted(var_names):
+            fields.extend(
+                [
+                    T.StructField(v, T.StringType()),
+                    T.StructField(f"{v}__dt", T.StringType()),
+                    T.StructField(f"{v}__lang", T.StringType()),
+                    T.StructField(f"{v}__num", T.DoubleType()),
+                ]
+            )
+        if not fields:
+            fields = [T.StructField("__one", T.IntegerType())]
+        return self.spark.createDataFrame([], T.StructType(fields))
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

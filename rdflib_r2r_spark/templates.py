@@ -109,7 +109,7 @@ def template_to_sql(
         if part.prefix:
             exprs.append("'" + part.prefix.replace("'", "''") + "'")
         if part.column:
-            c = f"CAST({qualify(part.column)} AS VARCHAR)"
+            c = f"CAST({qualify(part.column)} AS STRING)"
             exprs.append(iri_safe_sql(c) if iri else c)
     if wrap and iri:
         exprs = ["'<'", *exprs, "'>'"]

@@ -70,11 +70,14 @@ def iri_safe_col(col: Column) -> Column:
 
 
 def iri_safe_sql(expr: str) -> str:
-    """DuckDB/ANSI SQL twin: nested replace() calls, same order."""
-    out = f"CAST({expr} AS VARCHAR)"
+    """SQL twin: nested replace() calls, same order. Emits the dialect
+    subset BOTH DuckDB and Spark SQL parse (chr(92) instead of a backslash
+    literal — Spark treats backslash as an escape inside string literals,
+    DuckDB does not)."""
+    out = f"CAST({expr} AS STRING)"
     for ch, rep in PERCENT_PAIRS:
-        c = ch.replace("'", "''")
-        out = f"replace({out}, '{c}', '{rep}')"
+        c = "chr(92)" if ch == "\\" else "'" + ch.replace("'", "''") + "'"
+        out = f"replace({out}, {c}, '{rep}')"
     return out
 
 
@@ -122,7 +125,7 @@ def skolem_bnode_col(*cols: Column) -> Column:
 def skolem_bnode_sql(*exprs: str) -> str:
     parts = []
     for i, e in enumerate(exprs):
-        e = f"CAST({e} AS VARCHAR)"
+        e = f"CAST({e} AS STRING)"
         parts.append(e if i == 0 else f"chr(31) || {e}")
     joined = " || ".join(parts)
     null_guard = " OR ".join(f"({e}) IS NULL" for e in exprs)
