@@ -1379,8 +1379,8 @@ SELECT count(*) > 0 AS found FROM (
     o["q_lang_id"] = textstats.lang_id_sql()
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql([1, 7, 42], k=5)
     o["ann_lsh_topk"] = similarity.ann_lsh_topk_sql([1, 7, 42], k=5)
-    # mm_image_meta: no SQL oracle (mapInPandas binary decode) ->
-    # rows-only; semantics covered by pytest (test_operators.py).
+    # real header decode (PNG IHDR / JPEG SOF) vs its deterministic twin
+    o["mm_image_meta"] = multimodal.image_meta_oracle_sql()
     return o
 
 

@@ -2,12 +2,15 @@
 with typed metadata, processed by Arrow-batched pandas UDFs over
 mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image_meta`` parses a deterministic fake header; real pixel decode
-sits behind ``decode_pixels`` which raises NotImplementedError. The
-Spark-side plumbing — binary schema, mapInPandas batching, UDF signature,
-partition behavior — is real and tested; swapping the stub for PIL/ffmpeg
-is a worker-side change only.
+The synthetic corpus attaches REAL format byte streams (a valid PNG
+signature + IHDR chunk, or a valid JPEG SOI + SOF0 segment) built entirely
+JVM-side (hex/unhex/concat — no Python in the generation path), and
+``decode_image_meta`` is a genuine header parser: PNG dimensions read from
+the IHDR big-endian fields, JPEG dimensions found by walking the marker
+segments to the first SOF. Pixel decode (``decode_pixels``) would require an
+image codec library not present in this container and stays a documented
+stub; everything up to it — schema, Arrow batching, partition behavior,
+header parsing — is real and oracle-checked.
 """
 
 from __future__ import annotations
@@ -15,11 +18,12 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-IMG_MAGIC = b"FIMG"
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SOI = b"\xff\xd8"
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -31,54 +35,133 @@ IMAGE_META_SCHEMA = T.StructType(
     ]
 )
 
+# deterministic synthetic sizes (verifiable by the SQL oracle)
+PNG_LEN = 8 + (4 + 4 + 13 + 4) + 32  # sig + IHDR chunk + md5-hex payload
+JPEG_LEN = 2 + 19 + 32 + 2  # SOI + SOF0 segment + payload + EOI
 
-def fake_image_col(doc_id, text) -> "F.Column":
-    """Deterministic synthetic 'image': FIMG | w | h | payload. Width/height
-    derived from doc_id so metadata extraction is verifiable."""
+
+def _be(col: Column, n_bytes: int) -> Column:
+    """Integer column -> big-endian binary of n_bytes (JVM-side)."""
+    return F.unhex(F.lpad(F.hex(col), n_bytes * 2, "0"))
+
+
+def fake_image_col(doc_id: Column, text: Column) -> Column:
+    """A REAL (header-valid) image byte stream per row: even doc_ids get a
+    PNG (signature + IHDR with width/height), odd get a JPEG (SOI + SOF0).
+    Dimensions derive from doc_id so metadata extraction is verifiable."""
     w = (doc_id % 64 + 1) * 10
     h = (doc_id % 48 + 1) * 10
-    header = F.concat(
-        F.lit(IMG_MAGIC.decode("latin1")),
-        F.lpad(w.cast("string"), 5, "0"),
-        F.lpad(h.cast("string"), 5, "0"),
+    payload = F.encode(F.md5(text), "UTF-8")  # 32 bytes
+
+    png = F.concat(
+        F.lit(PNG_SIG),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),
+        _be(w.cast("int"), 4),
+        _be(h.cast("int"), 4),
+        F.lit(b"\x08\x02\x00\x00\x00"),  # bit depth 8, truecolor
+        F.lit(b"\x00\x00\x00\x00"),  # CRC placeholder
+        payload,
     )
-    return F.encode(F.concat(header, F.md5(text)), "UTF-8")
+    jpeg = F.concat(
+        F.lit(JPEG_SOI),
+        F.lit(b"\xff\xc0\x00\x11\x08"),  # SOF0, len 17, precision 8
+        _be(h.cast("int"), 2),
+        _be(w.cast("int"), 2),
+        F.lit(b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"),  # 3 components
+        payload,
+        F.lit(b"\xff\xd9"),
+    )
+    return F.when(doc_id % 2 == 0, png).otherwise(jpeg)
 
 
 def attach_fake_images(docs: DataFrame) -> DataFrame:
     return docs.withColumn("image", fake_image_col(F.col("doc_id"), F.col("text")))
 
 
+def _parse_png(b: bytes) -> tuple[int, int] | None:
+    if len(b) < 24 or not b.startswith(PNG_SIG) or b[12:16] != b"IHDR":
+        return None
+    return (
+        int.from_bytes(b[16:20], "big"),
+        int.from_bytes(b[20:24], "big"),
+    )
+
+
+_SOF_MARKERS = set(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first start-of-frame; (w, h)."""
+    if len(b) < 4 or not b.startswith(JPEG_SOI):
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD9:  # EOI
+            return None
+        if marker in _SOF_MARKERS:
+            if i + 9 > len(b):
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return (w, h)
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        i += 2 + seg_len
+    return None
+
+
 def decode_image_meta(df: DataFrame) -> DataFrame:
-    """mapInPandas metadata extraction: Arrow batches in, Arrow batches out.
-    Vectorized pandas ops only — no per-row Python."""
+    """mapInPandas metadata extraction: Arrow batches in, Arrow batches out;
+    per-batch pandas with a real header parser per binary value."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raw = pdf["image"].map(bytes)
-            s = raw.map(lambda b: b.decode("latin1"))
-            ok = s.str.startswith(IMG_MAGIC.decode("latin1"))
-            out = pd.DataFrame(
+            widths, heights, fmts = [], [], []
+            for b in raw:
+                wh = _parse_png(b)
+                if wh is not None:
+                    fmts.append("png")
+                else:
+                    wh = _parse_jpeg(b)
+                    fmts.append("jpeg" if wh is not None else "unknown")
+                widths.append(wh[0] if wh else None)
+                heights.append(wh[1] if wh else None)
+            yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": pd.to_numeric(s.str.slice(4, 9), errors="coerce").where(ok).astype("Int32"),
-                    "height": pd.to_numeric(s.str.slice(9, 14), errors="coerce").where(ok).astype("Int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "n_bytes": raw.map(len).astype("int64"),
-                    "format": pd.Series("fimg", index=pdf.index).where(ok, "unknown"),
+                    "format": fmts,
                 }
             )
-            yield out
 
     return df.select("doc_id", "image").mapInPandas(fn, IMAGE_META_SCHEMA)
 
 
+def image_meta_oracle_sql(table: str = "documents") -> str:
+    """DuckDB twin of attach_fake_images |> decode_image_meta — the
+    dimensions/format/length are deterministic functions of doc_id."""
+    return f"""
+SELECT doc_id,
+       CAST((doc_id % 64 + 1) * 10 AS INT) AS width,
+       CAST((doc_id % 48 + 1) * 10 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN {PNG_LEN} ELSE {JPEG_LEN} END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM {table}
+"""
+
+
 def decode_pixels(df: DataFrame) -> DataFrame:
-    """Real image decode — requires an image library not present in this
-    container. The distributed plumbing is decode_image_meta's; only the
-    per-batch body changes."""
+    """Full pixel decode — requires an image codec library (PIL/opencv) not
+    present in this container. The distributed plumbing is
+    decode_image_meta's; only the per-batch body changes."""
     raise NotImplementedError(
         "pixel decode requires PIL/opencv in the executor image; "
-        "use decode_image_meta for the metadata path"
+        "use decode_image_meta for the header/metadata path"
     )
 
 
