@@ -840,6 +840,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sparql_closure"] = sparql_closure
 
+    # ---- BSBM suite through the SPARQL front end (reference's published
+    # benchmark workload, docs/test-results/bsbm.md) ----
+    from rdflib_r2r_spark import bsbm as bsbm_mod
+
+    def _mk_bsbm(text):
+        def fn(spark, sf):
+            tables = {t: _t(spark, sf, t) for t in bsbm_mod.BSBM_TABLES}
+            return bsbm_mod.bsbm_store(spark, tables).query(text)
+
+        return fn
+
+    for _name, _text in bsbm_mod.QUERIES.items():
+        q[_name] = _mk_bsbm(_text)
+
     # ---- TPC-H classics (bench headliners) ----
     def q_tpch_q1(spark, sf):
         li = _t(spark, sf, "lineitem")
@@ -1381,6 +1395,10 @@ SELECT count(*) > 0 AS found FROM (
     o["ann_lsh_topk"] = similarity.ann_lsh_topk_sql([1, 7, 42], k=5)
     # real header decode (PNG IHDR / JPEG SOF) vs its deterministic twin
     o["mm_image_meta"] = multimodal.image_meta_oracle_sql()
+
+    from rdflib_r2r_spark import bsbm as bsbm_mod
+
+    o.update(bsbm_mod.ORACLES)
     return o
 
 

@@ -88,6 +88,13 @@ def main() -> None:
         "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_group_having",
         "q_window_session", "dedup_lsh_pairs", "dedup_simhash",
         "q_text_stats", "ann_cosine_topk", "kg_dump_geo", "kg_mentions",
+        # BSBM suite through the SPARQL front end — the reference's published
+        # workload (docs/test-results/bsbm.md: bi1 6.46s bi2 8.08s bi3 5.28s
+        # bi4 5.19s bi5 7.41s bi7 4.89s explore1 7.44s explore5 5.15s on its
+        # bundled dataset); BENCH.md carries the side-by-side table
+        "bsbm_bi1", "bsbm_bi2", "bsbm_bi3", "bsbm_bi4", "bsbm_bi5",
+        "bsbm_bi7", "bsbm_explore1", "bsbm_explore5",
+        "sparql_join_ref", "sparql_closure",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir))
 

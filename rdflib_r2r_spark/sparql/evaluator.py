@@ -276,21 +276,29 @@ class Evaluator:
         if not proj_names:  # SELECT *
             proj_names = sorted(v for v in bf.all_vars if not v.startswith("__"))
 
-        # ORDER BY runs before projection narrowing (may use dropped vars)
-        sort_cols: list[Column] = []
-        for e, asc in q.order_by:
-            ev = self.compile_expr(e, bf)
-            if ev.kind == "term":
-                # numeric view first (numeric terms order numerically, NULL
-                # for non-numerics), lexical as tiebreak/fallback
-                num, lex = ev.as_num(), ev.as_lex()
-                sort_cols.append(num.asc() if asc else num.desc())
-                sort_cols.append(lex.asc() if asc else lex.desc())
-            else:
-                c = ev.out_col()
-                sort_cols.append(c.asc() if asc else c.desc())
-        if sort_cols:
-            bf = BindingFrame(bf.df.orderBy(*sort_cols), bf.term_vars, bf.native_vars)
+        def sort_frame(frame: BindingFrame) -> BindingFrame:
+            sort_cols: list[Column] = []
+            for e, asc in q.order_by:
+                ev = self.compile_expr(e, frame)
+                if ev.kind == "term":
+                    # numeric view first (numeric terms order numerically,
+                    # NULL for non-numerics), lexical as tiebreak/fallback
+                    num, lex = ev.as_num(), ev.as_lex()
+                    sort_cols.append(num.asc() if asc else num.desc())
+                    sort_cols.append(lex.asc() if asc else lex.desc())
+                else:
+                    c = ev.out_col()
+                    sort_cols.append(c.asc() if asc else c.desc())
+            if not sort_cols:
+                return frame
+            return BindingFrame(frame.df.orderBy(*sort_cols), frame.term_vars,
+                                frame.native_vars)
+
+        if not (q.distinct or q.reduced):
+            # ORDER BY may reference non-projected vars: sort BEFORE
+            # narrowing; Catalyst fuses Limit(Project(Sort)) into
+            # TakeOrderedAndProject
+            bf = sort_frame(bf)
 
         keep: list[str] = []
         for name in proj_names:
@@ -311,7 +319,10 @@ class Evaluator:
         )
 
         if q.distinct or q.reduced:
+            # SPARQL 18.2.5: Distinct applies to the projected multiset,
+            # ORDER/Slice run over the distinct solutions
             out = BindingFrame(out.df.distinct(), out.term_vars, out.native_vars)
+            out = sort_frame(out)
         if q.offset:
             out = BindingFrame(out.df.offset(q.offset), out.term_vars, out.native_vars)
         if q.limit is not None:
@@ -445,7 +456,10 @@ class Evaluator:
                 return s.cast("double")
             cnt = (F.count_distinct(ev.as_num()) if c.distinct
                    else F.count(ev.as_num()))
-            return (s / cnt).cast("double")
+            # divide as doubles: decimal division rounds at the result scale
+            # (half-up in Spark, different in other engines) and breaks
+            # cross-engine parity on .5-at-scale boundaries
+            return s.cast("double") / cnt
         if name in ("MIN", "MAX"):
             fn = F.min if name == "MIN" else F.max
             if self._agg_is_numeric_ev(ev):
