@@ -969,6 +969,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_image_meta"] = mm_image_meta
 
+    def mm_audio_meta(spark, sf):
+        docs = multimodal.attach_fake_audio(_t(spark, sf, "documents"))
+        return multimodal.decode_audio_meta(docs)
+
+    q["mm_audio_meta"] = mm_audio_meta
+
     return q
 
 
@@ -1393,8 +1399,9 @@ SELECT count(*) > 0 AS found FROM (
     o["q_lang_id"] = textstats.lang_id_sql()
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql([1, 7, 42], k=5)
     o["ann_lsh_topk"] = similarity.ann_lsh_topk_sql([1, 7, 42], k=5)
-    # real header decode (PNG IHDR / JPEG SOF) vs its deterministic twin
+    # real header decode (PNG IHDR / JPEG SOF / WAV RIFF) vs deterministic twins
     o["mm_image_meta"] = multimodal.image_meta_oracle_sql()
+    o["mm_audio_meta"] = multimodal.audio_meta_oracle_sql()
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 

@@ -84,7 +84,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     qs = E.queries()
-    for name in [
+    skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
+    for name in [] if skip_queries else [
         "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_group_having",
         "q_window_session", "dedup_lsh_pairs", "dedup_simhash",
         "q_text_stats", "ann_cosine_topk", "kg_dump_geo", "kg_mentions",

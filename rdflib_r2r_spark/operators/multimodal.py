@@ -155,6 +155,126 @@ FROM {table}
 """
 
 
+# --------------------------------------------------------------------------
+# audio: WAV (RIFF) header plumbing — same pattern as images
+# --------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+WAV_DATA_LEN = 32  # md5-hex payload
+WAV_LEN = 44 + WAV_DATA_LEN
+
+
+def _le(col: Column, n_bytes: int) -> Column:
+    """Integer column -> little-endian binary of n_bytes (byte-swapped hex)."""
+    h = F.lpad(F.hex(col), n_bytes * 2, "0")
+    pairs = [F.substring(h, i * 2 + 1, 2) for i in range(n_bytes)]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+def fake_audio_col(doc_id: Column, text: Column) -> Column:
+    """A REAL canonical 44-byte PCM WAV header + payload per row; sample
+    rate / channel count derive from doc_id so extraction is verifiable."""
+    rate = (doc_id % 5 + 4) * 2000  # 8000..16000
+    channels = (doc_id % 2 + 1).cast("int")
+    bits = F.lit(16)
+    block_align = channels * 2
+    byte_rate = rate * block_align
+    payload = F.encode(F.md5(text), "UTF-8")  # 32 bytes
+    return F.concat(
+        F.lit(b"RIFF"),
+        _le(F.lit(36 + WAV_DATA_LEN), 4),
+        F.lit(b"WAVEfmt "),
+        _le(F.lit(16), 4),
+        _le(F.lit(1), 2),  # PCM
+        _le(channels, 2),
+        _le(rate.cast("int"), 4),
+        _le(byte_rate.cast("int"), 4),
+        _le(block_align.cast("int"), 2),
+        _le(bits, 2),
+        F.lit(b"data"),
+        _le(F.lit(WAV_DATA_LEN), 4),
+        payload,
+    )
+
+
+def attach_fake_audio(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("audio", fake_audio_col(F.col("doc_id"), F.col("text")))
+
+
+def _parse_wav(b: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_samples) via a real RIFF chunk walk."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    rate = channels = bits = block = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            block = int.from_bytes(b[i + 20 : i + 22], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size % 2)
+    if rate is None or data_size is None or not block:
+        return None
+    return (rate, channels or 0, bits or 0, data_size // block)
+
+
+def decode_audio_meta(df: DataFrame) -> DataFrame:
+    """mapInPandas WAV metadata extraction (Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["audio"].map(bytes)
+            rates, chans, bits_, nsamp, fmts = [], [], [], [], []
+            for b in raw:
+                meta = _parse_wav(b)
+                if meta is None:
+                    rates.append(None); chans.append(None)
+                    bits_.append(None); nsamp.append(None); fmts.append("unknown")
+                else:
+                    rates.append(meta[0]); chans.append(meta[1])
+                    bits_.append(meta[2]); nsamp.append(meta[3]); fmts.append("wav")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "bits_per_sample": pd.array(bits_, dtype="Int32"),
+                    "n_samples": pd.array(nsamp, dtype="Int64"),
+                    "format": fmts,
+                }
+            )
+
+    return df.select("doc_id", "audio").mapInPandas(fn, AUDIO_META_SCHEMA)
+
+
+def audio_meta_oracle_sql(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST((doc_id % 5 + 4) * 2000 AS INT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS INT) AS channels,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST({WAV_DATA_LEN} / ((doc_id % 2 + 1) * 2) AS BIGINT) AS n_samples,
+       'wav' AS format
+FROM {table}
+"""
+
+
 def decode_pixels(df: DataFrame) -> DataFrame:
     """Full pixel decode — requires an image codec library (PIL/opencv) not
     present in this container. The distributed plumbing is

@@ -162,6 +162,9 @@ class BGPCompiler:
         self.compiler = compiler
         self.arms = enumerate_arms(tmaps)
         self._alias_n = 0
+        # one source DataFrame per logical source (sqlQuery sources parse
+        # once, not once per slot); slots alias it
+        self._source_cache: dict[str, DataFrame] = {}
 
     # -- candidate matching ---------------------------------------------------
 
@@ -243,7 +246,10 @@ class BGPCompiler:
     def _new_slot(self, source) -> Slot:
         self._alias_n += 1
         alias = f"bgp{self._alias_n}"
-        src = self.compiler.source_df(source)
+        key = source.key()
+        if key not in self._source_cache:
+            self._source_cache[key] = self.compiler.source_df(source)
+        src = self._source_cache[key]
         return Slot(alias=alias, df=src.alias(alias),
                     types={f.name: f.dataType for f in src.schema.fields})
 
@@ -352,6 +358,47 @@ class BGPCompiler:
         if _tm_render_kind(tm, occ.position) == "Literal" and (dt is None or dt in _NUMERIC_XSD):
             return lex.try_cast("double")
         return F.lit(None).cast("double")
+
+    def _statically_consistent(self, patterns: list, assignment) -> bool:
+        """Cheap metadata-only unification check so impossible assignments
+        (the big product of the reference's queryBGP) never build slots or
+        plans — the reference's try_match_templates pruning, done eagerly."""
+        occs: dict[str, list[tuple[TermMap, str]]] = {}
+
+        def add(term, tm: TermMap, position: str) -> None:
+            if isinstance(term, Var):
+                occs.setdefault(term.name, []).append((tm, position))
+            elif isinstance(term, BNodeT):
+                occs.setdefault("__bn_" + term.label, []).append((tm, position))
+
+        for (s, p, o), arm in zip(patterns, assignment):
+            add(s, arm.tmap.subject_map, "S")
+            add(p, arm.pred_tm, "P")
+            if arm.parent is not None:
+                add(o, arm.parent.subject_map, "S")
+            else:
+                add(o, arm.obj_tm, "O")
+
+        for _name, olist in occs.items():
+            ta, pa = olist[0]
+            for tb, pb in olist[1:]:
+                if not self._tm_compatible(ta, pa, tb, pb):
+                    return False
+        return True
+
+    def _tm_compatible(self, ta: TermMap, pa: str, tb: TermMap, pb: str) -> bool:
+        ka, kb = ta.inferred_term_type(pa), tb.inferred_term_type(pb)
+        if ka != kb and ({ka, kb} == {"IRI", "Literal"} or "BlankNode" in (ka, kb)):
+            return False
+        if ta.constant is not None and tb.constant is not None:
+            return ta.constant == tb.constant
+        if ta.constant is not None and tb.template is not None:
+            return invert_template_py(ta.constant, tb.template) is not None
+        if tb.constant is not None and ta.template is not None:
+            return invert_template_py(tb.constant, ta.template) is not None
+        if ta.template is not None and tb.template is not None:
+            return templates_compatible(ta.template, tb.template)
+        return True
 
     def compile_assignment(self, patterns: list, assignment: list[Arm],
                            graph_term) -> DataFrame | None:
@@ -504,6 +551,8 @@ class BGPCompiler:
         for assignment in itertools.product(*cand_lists):
             if len(assignment) != len(patterns):
                 continue
+            if not self._statically_consistent(patterns, assignment):
+                continue  # pruned before any DataFrame work
             df = self.compile_assignment(patterns, list(assignment), graph_term)
             if df is not None:
                 parts.append(df)

@@ -70,13 +70,9 @@ def read_bucket(spark: SparkSession, target: str, subj: str, num_buckets: int = 
     the read-side payoff of the bucketed layout."""
     df = read_triples(spark, target)
     if BUCKET_COL in df.columns:
-        bucket = None
-        # compute the bucket driver-side with the same hash Spark uses
-        from pyspark.sql import Row
-
-        bucket_df = spark.createDataFrame([Row(subj=subj)]).select(
-            F.pmod(F.xxhash64("subj"), F.lit(num_buckets)).alias("b")
-        )
-        bucket = bucket_df.collect()[0]["b"]
-        df = df.filter(F.col(BUCKET_COL) == int(bucket))
+        # the bucket id as a FOLDABLE expression: Catalyst constant-folds
+        # pmod(xxhash64(lit), N) at optimization time, so partition pruning
+        # still fires — and no separate driver-side Spark job is submitted
+        bucket_expr = F.pmod(F.xxhash64(F.lit(subj)), F.lit(num_buckets))
+        df = df.filter(F.col(BUCKET_COL) == bucket_expr)
     return df.filter(F.col("subj") == subj)

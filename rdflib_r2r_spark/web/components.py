@@ -34,10 +34,18 @@ def connected_components(
     dst: str = "b",
     max_iter: int = 25,
     salt_buckets: int = 1,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     Node ids may be any orderable type (string urls, longs).
+
+    ``hops_per_round`` chains that many min-propagation steps into ONE
+    checkpointed DAG per round: the driver-synchronized barrier (checkpoint
+    materialization + convergence count) is the serial term that caps
+    scaling efficiency, so halving the number of barriers (2 hops/round
+    covers diameter d in ceil(d/2) barriers) buys parallel fraction at the
+    cost of one possibly-wasted hop after convergence.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
@@ -50,11 +58,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _i in range(max_iter):
-        nbr = sym.join(labels, sym["d"] == labels["node"], "inner").select(
+    def one_hop(lbls: DataFrame) -> DataFrame:
+        nbr = sym.join(lbls, sym["d"] == lbls["node"], "inner").select(
             sym["s"].alias("node"), F.col("label")
         )
         if salt_buckets > 1:
+            # two-phase salted min: exact for the algebraic min, spreads
+            # hub-node hot keys over salt_buckets reducers
             nbr = nbr.withColumn("_salt", F.pmod(F.xxhash64("label"), F.lit(salt_buckets)))
             nbr = (
                 nbr.groupBy("node", "_salt").agg(F.min("label").alias("label"))
@@ -62,15 +72,23 @@ def connected_components(
             )
         else:
             nbr = nbr.groupBy("node").agg(F.min("label").alias("cand"))
-        new_labels = (
-            labels.join(nbr, "node", "left")
+        return (
+            lbls.join(nbr, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("cand"), F.col("label"))).alias("label"),
                 (F.col("cand").isNotNull() & (F.col("cand") < F.col("label"))).alias("_chg"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+
+    rounds = max(1, (max_iter + hops_per_round - 1) // hops_per_round)
+    for _i in range(rounds):
+        stepped = labels
+        for _h in range(max(1, hops_per_round)):
+            stepped = one_hop(stepped.select("node", "label"))
+        # min-propagation is monotone: if the LAST hop changed nothing, the
+        # labels are a fixpoint — one flag per round suffices
+        new_labels = stepped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_chg")).limit(1).count()
         labels = new_labels.drop("_chg")
         if changed == 0:

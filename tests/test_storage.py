@@ -49,3 +49,48 @@ def test_bucket_pruned_lookup(spark, tmp_path):
 
 def test_iceberg_detection_is_false_here(spark):
     assert storage.iceberg_available(spark) is False
+
+
+def test_iceberg_branch_mocked(spark, monkeypatch):
+    """The writeTo/partitionedBy Iceberg path, exercised with a mocked
+    catalog (no Iceberg runtime jar in this sandbox): verifies table-name
+    dispatch, the bucket(N, subj) partition transform, and
+    createOrReplace/append mode selection."""
+    from unittest.mock import MagicMock
+
+    monkeypatch.setattr(storage, "iceberg_available", lambda _s: True)
+    df = MagicMock(name="df")
+    writer = df.writeTo.return_value
+    partitioned = writer.partitionedBy.return_value
+
+    kind = storage.write_triples(spark, df, "cat.db.triples", num_buckets=16)
+    assert kind == "iceberg"
+    df.writeTo.assert_called_once_with("cat.db.triples")
+    (transform,) = writer.partitionedBy.call_args.args
+    assert "bucket(16, subj)" in str(transform)
+    partitioned.createOrReplace.assert_called_once()
+
+    df2 = MagicMock(name="df2")
+    kind2 = storage.write_triples(spark, df2, "cat.db.triples", mode="append")
+    assert kind2 == "iceberg"
+    df2.writeTo.return_value.partitionedBy.return_value.append.assert_called_once()
+
+    # path-like targets never dispatch to Iceberg even with a catalog
+    real = _small_triples(spark)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        assert storage.write_triples(spark, real, f"{d}/t") == "parquet"
+
+
+def test_read_bucket_prunes_without_extra_job(spark, tmp_path):
+    """The bucket id folds into the plan (no driver-side hash job); only
+    one partition directory survives pruning."""
+    triples = _small_triples(spark)
+    target = str(tmp_path / "triples3")
+    storage.write_triples(spark, triples, target, num_buckets=8)
+    out = storage.read_bucket(spark, target, "<http://ex.org/nation/7>", num_buckets=8)
+    assert out.count() >= 3
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    # constant-folded literal bucket comparison, not an unevaluated hash
+    assert "xxhash64" not in optimized.lower()
