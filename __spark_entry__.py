@@ -963,6 +963,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        return similarity.ann_ivf_topk(_t(spark, sf, "embeddings"), ANN_PROBES, k=5)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def mm_image_meta(spark, sf):
         docs = multimodal.attach_fake_images(_t(spark, sf, "documents"))
         return multimodal.decode_image_meta(docs)
@@ -1399,6 +1404,7 @@ SELECT count(*) > 0 AS found FROM (
     o["q_lang_id"] = textstats.lang_id_sql()
     o["ann_cosine_topk"] = similarity.brute_force_topk_sql([1, 7, 42], k=5)
     o["ann_lsh_topk"] = similarity.ann_lsh_topk_sql([1, 7, 42], k=5)
+    o["ann_ivf_topk"] = similarity.ann_ivf_topk_sql([1, 7, 42], k=5)
     # real header decode (PNG IHDR / JPEG SOF / WAV RIFF) vs deterministic twins
     o["mm_image_meta"] = multimodal.image_meta_oracle_sql()
     o["mm_audio_meta"] = multimodal.audio_meta_oracle_sql()

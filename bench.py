@@ -116,16 +116,24 @@ def main() -> None:
                           count_rows=True, checkpoint_stages=False)
         pipe.run()
         wall_fused = time.time() - t0
+        if os.environ.get("SPARK_GRAFT_STAGE_TIMES", "0") == "1":
+            import sys as _sys
+            print(json.dumps({"stage_walls": {
+                n: round(r.seconds, 2) for n, r in pipe.results.items()
+            }}), file=_sys.stderr)
         n_triples = pipe.results["triples"].rows or 0
         timings["kg_pipeline_fused"] = round(wall_fused, 3)
         spark.catalog.clearCache()
 
-        t0 = time.time()
-        pipe2 = KGPipeline(spark, pipe_input, f"{tmp}/kg_ckpt", resume=False,
-                           count_rows=True, checkpoint_stages=True)
-        pipe2.run()
-        wall_ckpt = time.time() - t0
-        timings["kg_pipeline_checkpointed"] = round(wall_ckpt, 3)
+        if os.environ.get("SPARK_GRAFT_SKIP_CKPT", "0") == "1" and not headline_checkpointed:
+            wall_ckpt = None
+        else:
+            t0 = time.time()
+            pipe2 = KGPipeline(spark, pipe_input, f"{tmp}/kg_ckpt", resume=False,
+                               count_rows=True, checkpoint_stages=True)
+            pipe2.run()
+            wall_ckpt = time.time() - t0
+            timings["kg_pipeline_checkpointed"] = round(wall_ckpt, 3)
 
         wall = wall_ckpt if headline_checkpointed else wall_fused
     finally:

@@ -104,6 +104,16 @@ class SparkMappingCompiler:
         Mirrors the constant/column/template dispatch of
         ``match_node_to_term_map`` (reference: rdflib_r2r/sql_converter.py:81-176).
         """
+        from pyspark.sql import types as T
+
+        raw_resolve = resolve
+
+        def resolve(c):  # noqa: F811 - binary columns render as uppercase hex
+            col = raw_resolve(c)
+            if isinstance(schema_types.get(c), T.BinaryType):
+                return F.hex(col)  # natural RDF lexical of binary (xsd:hexBinary)
+            return col
+
         ttype = tm.inferred_term_type(position)
         dt = F.lit(tm.datatype).cast("string") if tm.datatype else _null_str()
         lang = F.lit(tm.language).cast("string") if tm.language else _null_str()
@@ -120,8 +130,15 @@ class SparkMappingCompiler:
         if tm.column is not None:
             col = resolve(tm.column)
             if ttype == "IRI":
-                # rr:termType rr:IRI on a column: value IS the IRI (no encoding)
-                return F.concat(F.lit("<"), col.cast("string"), F.lit(">")), _null_str(), _null_str()
+                # rr:termType rr:IRI on a column: value IS the IRI (no
+                # encoding); RELATIVE values resolve against the mapping base
+                # (R2RML §7.4), absolute ones pass through
+                val = col.cast("string")
+                if tm.base_iri:
+                    val = F.when(
+                        val.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), val
+                    ).otherwise(F.concat(F.lit(tm.base_iri), val))
+                return F.concat(F.lit("<"), val, F.lit(">")), _null_str(), _null_str()
             if ttype == "BlankNode":
                 return F.concat(F.lit("_:"), terms.iri_safe_col(col)), _null_str(), _null_str()
             if tm.datatype is None:
@@ -148,18 +165,40 @@ class SparkMappingCompiler:
         graphs = tuple(pom.graphs) + tuple(tmap.subject_map.graphs)
         return list(graphs) if graphs else [None]
 
+    def validate(self, tmaps: list[TriplesMap]) -> None:
+        """Reject invalid mappings the way a conforming R2RML processor must
+        (W3C negative test cases): literal subjects, non-IRI graphs."""
+        for tmap in tmaps:
+            if tmap.subject_map.inferred_term_type("S") == "Literal":
+                raise MappingError(
+                    f"triples map {tmap.name}: subject map must be IRI or "
+                    "BlankNode, not Literal (R2RML §6)"
+                )
+            graph_tms = list(tmap.subject_map.graphs)
+            for pom in tmap.pomaps:
+                graph_tms.extend(pom.graphs)
+            for g in graph_tms:
+                if g is not None and g.inferred_term_type("G") != "IRI":
+                    raise MappingError(
+                        f"triples map {tmap.name}: graph map must be an IRI "
+                        "(R2RML §9)"
+                    )
+
     def compile(self, tmaps: list[TriplesMap]) -> DataFrame:
         """Full-dump materialization: every arm of every triples-map."""
+        self.validate(tmaps)
         by_name = {tm.name: tm for tm in tmaps}
         scan_arms: dict[str, list[tuple[TriplesMap, TermMap | None, TermMap, TermMap | None]]] = defaultdict(list)
         join_parts: list[DataFrame] = []
 
         for tmap in tmaps:
-            # class triples: subject rdf:type class (sql_converter.py:340-345)
+            # class triples: subject rdf:type class (sql_converter.py:340-345);
+            # they inherit the subject map's graphMap (R2RML §9)
             for cls in tmap.subject_map.classes:
-                scan_arms[tmap.source.key()].append(
-                    (tmap, None, terms_const_iri_typeobj(cls), None)
-                )
+                for g in (list(tmap.subject_map.graphs) or [None]):
+                    scan_arms[tmap.source.key()].append(
+                        (tmap, None, terms_const_iri_typeobj(cls), g)
+                    )
             for pom in tmap.pomaps:
                 for pred in pom.predicates:
                     for obj in pom.objects:

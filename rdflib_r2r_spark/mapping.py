@@ -56,6 +56,10 @@ class TermMap:
     language: str | None = None
     parent_triples_map: str | None = None
     join_conditions: tuple[JoinCondition, ...] = ()
+    # base IRI for resolving RELATIVE column-valued IRIs at render time
+    # (R2RML §7.4: rr:column IRIs resolve against the mapping base; values
+    # that are already absolute pass through)
+    base_iri: str | None = None
 
     def inferred_term_type(self, position: str) -> str:
         if self.term_type:

@@ -54,11 +54,29 @@ HAVING count(*) > 1
 
 # -- minhash signatures + LSH pairs (SQL twins) -------------------------------
 
+def _md5_signatures(docs: DataFrame, text_col: str, key_col: str,
+                    num_hashes: int) -> DataFrame:
+    """md5-based minhash family over STRING shingles — the engine-portable
+    variant DuckDB can reproduce byte-for-byte (DuckDB has no crc32, so this
+    oracle-paired family keeps md5; the throughput pipeline in web/linking
+    uses the crc32/numeric family whose twin is the Python reference)."""
+    toks = tokens_col(F.col(text_col))
+    step1 = docs.select(F.col(key_col).alias("key"), toks.alias("_toks"))
+    step2 = step1.select("key", linking.shingles_from_tokens(F.col("_toks")).alias("_sh"))
+    base = F.transform(
+        F.col("_sh"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        % linking.MINHASH_P,
+    )
+    step3 = step2.select("key", base.alias("_hv"))
+    return step3.select("key", *linking.minhash_sig_cols(F.col("_hv"), num_hashes))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
                        num_hashes: int = linking.DEFAULT_NUM_HASHES) -> DataFrame:
     """Per-doc minhash signature; docs with < SHINGLE_K tokens are excluded
     (keeps the SQL twin window-based). Column `key` + mh0..mhN."""
-    sigs = linking.signatures(docs, text_col=text_col, key_col=key_col, num_hashes=num_hashes)
+    sigs = _md5_signatures(docs, text_col, key_col, num_hashes)
     ntok = F.size(tokens_col(F.col(text_col)))
     keys = docs.select(F.col(key_col).alias("key"), ntok.alias("_n")).filter(F.col("_n") >= SHINGLE_K)
     return sigs.join(keys.select("key"), "key", "inner")

@@ -3,10 +3,16 @@
 - brute-force cosine top-k: the exactness baseline. Probe set is small by
   construction -> broadcast; dot products via zip_with/aggregate (JVM-side
   sequential fold, engine-portable values when cast to double).
-- LSH-bucketed ANN (sign random projections): the scale path. Hyperplanes
+- LSH-bucketed ANN (sign random projections): a scale path. Hyperplanes
   are pseudo-random but fully deterministic (md5-seeded), signature = b-bit
   bucket id; candidates only meet within a bucket (+ optional multi-probe),
   turning O(n*q) into a bucket equi-join.
+- IVF ANN (inverted-file): the other scale path. C deterministic seed
+  centroids (md5-ranked ids), one assignment pass (broadcast centroids,
+  C dot products/vector), probes search only their nprobe nearest lists —
+  candidates = ~nprobe/C of the corpus via a list_id equi-join. At 100 TB
+  the assigned table is written partitioned by list_id so a probe's scan
+  prunes to its lists.
 """
 
 from __future__ import annotations
@@ -128,6 +134,136 @@ scored AS (
   SELECT p.probe_id, e.{id_col} AS vec_id,
          round({dot} / ({norm('p.pv')} * {norm(f'e.{vec_col}')}), 6) AS cosine
   FROM b e JOIN p ON e.bucket = p.pb AND e.{id_col} <> p.probe_id
+)
+SELECT probe_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, cosine
+FROM scored
+WINDOW w AS (PARTITION BY probe_id ORDER BY cosine DESC, vec_id ASC)
+QUALIFY rank <= {k}
+"""
+
+
+# -- IVF ANN (inverted file) ---------------------------------------------------
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic seed centroids: the n vectors with the smallest
+    md5(vec_id) — hash-uniform sampling both engines reproduce, selected via
+    orderBy+limit (TakeOrderedAndProject, fully distributed)."""
+    return (
+        emb.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_centroids)
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, embedding, list_id): each vector joins its nearest centroid
+    by cosine. One broadcast pass over the corpus, C dot products per row."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "cid",
+        cosine_col(F.col(vec_col), F.col("cvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cos"), F.asc("cid"))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, F.col("cid").alias("list_id"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via inverted lists: a probe scores only vectors
+    assigned to its nprobe nearest centroid lists."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+
+    probes = emb.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    pw = Window.partitionBy("probe_id").orderBy(F.desc("_pcos"), F.asc("cid"))
+    probe_lists = (
+        probes.crossJoin(F.broadcast(cents))
+        .select("probe_id", "probe_vec", "cid",
+                cosine_col(F.col("probe_vec"), F.col("cvec")).alias("_pcos"))
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("cid").alias("list_id"))
+    )
+
+    cands = assigned.join(
+        F.broadcast(probe_lists),
+        (assigned["list_id"] == probe_lists["list_id"])
+        & (F.col(id_col) != F.col("probe_id")),
+    )
+    scored = cands.select(
+        "probe_id",
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_col(F.col("probe_vec"), F.col(vec_col)), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def ann_ivf_topk_sql(
+    probe_ids: list[int],
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    ids = ", ".join(str(i) for i in probe_ids)
+    dot = lambda a, b: (  # noqa: E731
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm = lambda v: f"sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"  # noqa: E731
+    cos = lambda a, b: f"{dot(a, b)} / ({norm(a)} * {norm(b)})"  # noqa: E731
+    return f"""
+WITH cents AS (
+  SELECT {id_col} AS cid, {vec_col} AS cvec FROM {table}
+  ORDER BY md5(CAST({id_col} AS STRING)), {id_col} LIMIT {n_centroids}
+),
+assigned AS (
+  SELECT {id_col}, {vec_col}, cid AS list_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.cid,
+           row_number() OVER (PARTITION BY e.{id_col}
+                              ORDER BY {cos(f'e.{vec_col}', 'c.cvec')} DESC, c.cid ASC) AS r
+    FROM {table} e CROSS JOIN cents c
+  ) WHERE r = 1
+),
+probe_lists AS (
+  SELECT probe_id, probe_vec, cid AS list_id FROM (
+    SELECT p.{id_col} AS probe_id, p.{vec_col} AS probe_vec, c.cid,
+           row_number() OVER (PARTITION BY p.{id_col}
+                              ORDER BY {cos(f'p.{vec_col}', 'c.cvec')} DESC, c.cid ASC) AS r
+    FROM {table} p CROSS JOIN cents c
+    WHERE p.{id_col} IN ({ids})
+  ) WHERE r <= {nprobe}
+),
+scored AS (
+  SELECT pl.probe_id, a.{id_col} AS vec_id,
+         round({cos('pl.probe_vec', f'a.{vec_col}')}, 6) AS cosine
+  FROM assigned a JOIN probe_lists pl
+    ON a.list_id = pl.list_id AND a.{id_col} <> pl.probe_id
 )
 SELECT probe_id, CAST(row_number() OVER w AS INT) AS rank, vec_id, cosine
 FROM scored

@@ -55,6 +55,12 @@ def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
     if tm.column is not None:
         col = f"CAST({qualify(tm.column)} AS STRING)"
         if ttype == "IRI":
+            if tm.base_iri:
+                b = _sq(tm.base_iri)[1:-1]
+                col = (
+                    f"CASE WHEN regexp_matches({col}, '^[A-Za-z][A-Za-z0-9+.-]*:') "
+                    f"THEN {col} ELSE '{b}' || {col} END"
+                )
             return f"'<' || {col} || '>'", null_s, null_s
         if ttype == "BlankNode":
             return f"'_:' || {terms.iri_safe_sql(qualify(tm.column))}", null_s, null_s
@@ -116,15 +122,16 @@ def mapping_to_duckdb_sql(
 
         subj_sql, _, _ = term_sql(tmap.subject_map, "S", qc)
         for cls in tmap.subject_map.classes:
-            scan_arm(
-                subj_sql,
-                _sq(terms.wrap_iri(terms.RDF_TYPE)),
-                _sq(terms.wrap_iri(cls)),
-                null_s,
-                null_s,
-                null_s,
-                f"{src} c",
-            )
+            for g in (list(tmap.subject_map.graphs) or [None]):
+                scan_arm(
+                    subj_sql,
+                    _sq(terms.wrap_iri(terms.RDF_TYPE)),
+                    _sq(terms.wrap_iri(cls)),
+                    null_s,
+                    null_s,
+                    term_sql(g, "G", qc)[0] if g is not None else null_s,
+                    f"{src} c",
+                )
         for pom in tmap.pomaps:
             for pred in pom.predicates:
                 pred_sql, _, _ = term_sql(pred, "P", qc)

@@ -13,6 +13,7 @@ input loading.
 from __future__ import annotations
 
 import hashlib
+import zlib
 import re
 from collections import Counter
 from datetime import datetime, timedelta
@@ -63,17 +64,27 @@ def alias_dict_py(texts: dict[str, str], size: int = DEFAULT_DICT_SIZE,
 
 def minhash_sig_py(text: str, num_hashes: int = DEFAULT_NUM_HASHES,
                    k: int = SHINGLE_K) -> list[int] | None:
-    from rdflib_r2r_spark.web.linking import MINHASH_P, hash_params
+    from rdflib_r2r_spark.web.linking import MINHASH_P, _shingle_coeffs, hash_params
 
     toks = tokens_py(text)
     if not toks:
         return None
-    if len(toks) >= k:
-        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    # zlib.crc32 == Spark's crc32 bit-for-bit (both standard CRC-32);
+    # shingle hashes are numeric polynomial combinations of token hashes
+    th = [zlib.crc32(t.encode()) % MINHASH_P for t in toks]
+    a1, a2, b = _shingle_coeffs()
+    if len(th) >= k:
+        coeffs = [a1, a2, 1][:k]
+        hv = [
+            sum(c * th[i + j] % MINHASH_P for j, c in enumerate(coeffs)) % MINHASH_P
+            for i in range(len(th) - k + 1)
+        ]
     else:
-        shingles = [" ".join(toks)]
-    hv = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P for s in shingles]
-    return [min((a * h + b) % MINHASH_P for h in hv) for a, b in hash_params(num_hashes)]
+        acc = 0
+        for h in th:
+            acc = (acc * b + h) % MINHASH_P
+        hv = [acc]
+    return [min((a * h + bb) % MINHASH_P for h in hv) for a, bb in hash_params(num_hashes)]
 
 
 class _UF:

@@ -51,11 +51,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # rr:sqlQuery sources use ANSI double-quoted identifiers (the W3C
+        # R2RML suite is written that way); string literals in engine-built
+        # SQL are single-quoted throughout, so this is safe to enable
+        .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # stay under the compressed-OOPs limit: heaps >~32g disable pointer
         # compression and anti-scale with thread count (measured: md5 bench
         # 2.5s @16g/32thr vs 16.9s @32g/32thr). Spill goes to disk anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # throughput GC: the allocation-heavy array/string stages are bound
+        # by G1's concurrent overhead at high thread counts (measured:
+        # signature stage 24s G1 -> 15.6s ParallelGC @ local[32]); batch
+        # analytics prefers max-throughput stop-the-world collection. On a
+        # cluster, set the same via spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # default 128m packs this box's small inputs into fewer read
         # partitions than cores, starving map stages (e.g. 1.2GB corpus ->
         # 10 tasks on 32 cores). 32m keeps scans wide here; clusters reading

@@ -187,3 +187,9 @@ class ConstructQuery:
     where: object
     limit: int | None = None
     offset: int | None = None
+
+
+@dataclass
+class DescribeQuery:
+    terms: list  # [IRI | Var]; empty == all projected vars of where
+    where: object | None = None

@@ -83,15 +83,16 @@ def enumerate_arms(tmaps: list[TriplesMap]) -> list[Arm]:
     for tmap in tmaps:
         graphs = tuple(tmap.subject_map.graphs)
         for cls in tmap.subject_map.classes:
-            arms.append(
-                Arm(
-                    tmap=tmap,
-                    pred_tm=TermMap(constant=RDF_TYPE, term_type="IRI"),
-                    obj_tm=TermMap(constant=cls, term_type="IRI"),
-                    graph_tm=graphs[0] if graphs else None,
-                    parent=None,
+            for g in (list(graphs) or [None]):
+                arms.append(
+                    Arm(
+                        tmap=tmap,
+                        pred_tm=TermMap(constant=RDF_TYPE, term_type="IRI"),
+                        obj_tm=TermMap(constant=cls, term_type="IRI"),
+                        graph_tm=g,
+                        parent=None,
+                    )
                 )
-            )
         for pom in tmap.pomaps:
             pgraphs = tuple(pom.graphs) + graphs
             for pred in pom.predicates:
@@ -258,7 +259,12 @@ class BGPCompiler:
         lit = F.lit(value)
         if dtype is not None:
             if isinstance(dtype, _NUMERIC_SPARK):
-                return F.lit(float(value) if "." in value or "e" in value.lower() else int(value)).cast(dtype)
+                try:
+                    num = float(value) if "." in value or "e" in value.lower() else int(value)
+                except ValueError:
+                    # non-numeric lexical can never equal a numeric column
+                    raise _Prune() from None
+                return F.lit(num).cast(dtype)
             return lit.cast(dtype)
         return lit
 

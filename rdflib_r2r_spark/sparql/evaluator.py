@@ -203,6 +203,33 @@ class Evaluator:
         bf = self.eval_pattern(q.where)
         return bf.df.limit(1).agg((F.count(F.lit(1)) > 0).alias("found"))
 
+    def eval_describe(self, q: A.DescribeQuery) -> DataFrame:
+        """DESCRIBE: all triples whose subject is a described node (simple
+        subject-oriented description). Constants filter the dump directly;
+        variables come from the WHERE solutions via a semi-join."""
+        dump = self._dump_df()
+        consts = [t for t in q.terms if isinstance(t, IRI)]
+        vars_ = [t for t in q.terms if isinstance(t, Var)]
+        parts = []
+        if consts:
+            lexes = [f"<{c.value}>" for c in consts]
+            parts.append(dump.filter(F.col("subj").isin(lexes)))
+        if q.where is not None:
+            bf = self.eval_pattern(q.where)
+            names = [v.name for v in vars_ if v.name in bf.all_vars] or \
+                sorted(v for v in bf.term_vars if not v.startswith("__"))
+            for name in names:
+                nodes = bf.df.select(F.col(name).alias("__n")).distinct()
+                parts.append(
+                    dump.join(nodes, dump["subj"] == nodes["__n"], "left_semi")
+                )
+        if not parts:
+            return dump.limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
     def eval_construct(self, q: A.ConstructQuery) -> DataFrame:
         bf = self.eval_pattern(q.where)
         parts = []
@@ -395,11 +422,23 @@ class Evaluator:
             {v for v in key_vars if v in bf.term_vars},
             {v: k for v, k in bf.native_vars.items() if v in key_vars},
         )
-        agg_kinds = {n: ("str" if c.name in ("GROUP_CONCAT",) or
-                         (c.name in ("MIN", "MAX", "SAMPLE") and not self._agg_is_numeric(c, bf))
-                         else "num")
-                     for c, n in aggs.items()}
-        out.native_vars.update(agg_kinds)
+        for c, n in aggs.items():
+            if c.name == "GROUP_CONCAT":
+                out.native_vars[n] = "str"
+            elif c.name in ("MIN", "MAX") and self._agg_arg_kind(c, bf) == "term":
+                # unpack the term struct back into term-var shadow columns
+                out.df = (
+                    out.df
+                    .withColumn(f"{n}__dt", F.col(n)["dt"])
+                    .withColumn(f"{n}__lang", F.col(n)["lang"])
+                    .withColumn(f"{n}__num", F.col(n)["num"])
+                    .withColumn(n, F.col(n)["lex"])
+                )
+                out.term_vars.add(n)
+            elif c.name == "SAMPLE" and self._agg_arg_kind(c, bf) == "term":
+                out.native_vars[n] = "str"
+            else:
+                out.native_vars[n] = "num"
 
         # rewrite outer expressions: aggregate calls -> synthetic vars
         def rewrite(e):
@@ -427,14 +466,10 @@ class Evaluator:
         # as columns for ORDER BY)
         return out
 
-    def _agg_is_numeric(self, c: Call, bf: BindingFrame) -> bool:
+    def _agg_arg_kind(self, c: Call, bf: BindingFrame) -> str:
         if not c.args or c.args[0] == "*":
-            return True
-        a = c.args[0]
-        if isinstance(a, Var):
-            return a.name in bf.native_vars and bf.native_vars[a.name] == "num" or \
-                a.name in bf.term_vars
-        return True
+            return "num"
+        return self.compile_expr(c.args[0], bf).kind
 
     def _compile_aggregate(self, c: Call, bf: BindingFrame) -> Column:
         name = c.name
@@ -462,9 +497,20 @@ class Evaluator:
             return s.cast("double") / cnt
         if name in ("MIN", "MAX"):
             fn = F.min if name == "MIN" else F.max
-            if self._agg_is_numeric_ev(ev):
-                return fn(ev.as_num()).cast("double")
-            return fn(ev.as_lex())
+            if ev.kind == "term":
+                # aggregate the TERM: an orderable struct whose leading flag
+                # prefers numeric values (SPARQL MIN/MAX order numerics
+                # numerically; all-string groups fall back to lexical order)
+                flag = ev.as_num().isNull() if name == "MIN" else ev.as_num().isNotNull()
+                s = F.struct(
+                    flag.alias("nn"),
+                    ev.as_num().alias("num"),
+                    ev.as_lex().alias("lex"),
+                    ev.dt_col().alias("dt"),
+                    ev.lang_col().alias("lang"),
+                )
+                return fn(s)
+            return fn(ev.as_num()).cast("double") if ev.kind == "num" else fn(ev.out_col())
         if name == "SAMPLE":
             return F.min(ev.out_col())
         if name == "GROUP_CONCAT":
@@ -472,9 +518,6 @@ class Evaluator:
             lst = F.collect_set(ev.as_str()) if c.distinct else F.collect_list(ev.as_str())
             return F.concat_ws(sep, F.array_sort(lst))
         raise SparqlNotImplemented(f"aggregate {name}")
-
-    def _agg_is_numeric_ev(self, ev: EV) -> bool:
-        return ev.kind == "num" or ev.kind == "term"
 
     # -- pattern dispatch -----------------------------------------------------------
 

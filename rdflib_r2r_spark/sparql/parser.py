@@ -30,6 +30,7 @@ from rdflib_r2r_spark.sparql.ast_nodes import (
     Call,
     Closure,
     ConstructQuery,
+    DescribeQuery,
     ExistsExpr,
     Extend,
     Filter,
@@ -767,9 +768,27 @@ class Parser:
             self._parse_solution_modifiers(mods)
             q.limit, q.offset = mods.limit, mods.offset
         elif self.at_kw("DESCRIBE"):
-            # the reference also lacks DESCRIBE
-            # (reference: tests/test_sql_converter.py:642-649 xfail)
-            raise SparqlNotImplemented("DESCRIBE is not supported")
+            # the reference lacks DESCRIBE (tests/test_sql_converter.py:642-649
+            # xfail); this engine supports the common forms
+            self.next()
+            terms: list = []
+            if self.at_op("*"):
+                self.next()
+            else:
+                while True:
+                    t = self.peek()
+                    if t.kind == "VAR":
+                        terms.append(self.parse_var())
+                    elif t.kind in ("IRIREF", "PNAME"):
+                        terms.append(self.parse_iri())
+                    else:
+                        break
+            where = None
+            if self.at_kw("WHERE") or self.at_op("{"):
+                if self.at_kw("WHERE"):
+                    self.next()
+                where = self.parse_group()
+            q = DescribeQuery(terms=terms, where=where)
         else:
             raise SparqlSyntaxError(f"expected query form, got {self.peek().text!r}")
         if self.peek().kind != "EOF":

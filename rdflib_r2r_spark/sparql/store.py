@@ -111,12 +111,34 @@ class SparkR2RStore:
         ns = {**self.init_ns, **(init_ns or {})}
         return parse_query(sparql, init_ns=ns)
 
-    def query(self, sparql: str, init_ns: dict[str, str] | None = None) -> DataFrame:
+    def query(self, sparql: str, init_ns: dict[str, str] | None = None,
+              init_bindings: dict[str, object] | None = None) -> DataFrame:
         """SPARQL text -> result DataFrame. SELECT yields one column per
         projected variable (term-encoded strings for RDF terms, native types
         for expression results); ASK yields one boolean row; CONSTRUCT yields
-        the 6-column triple schema."""
+        the 6-column triple schema. ``init_bindings`` pre-binds variables
+        (the reference's initBindings injection, r2r_store.py:62-75) by
+        joining a one-row VALUES relation onto the pattern."""
         q = self._parse(sparql, init_ns)
+        if init_bindings:
+            from rdflib_r2r_spark.sparql.ast_nodes import Join, Lit, ValuesPat, Var as AVar
+
+            def term_of(v):
+                if isinstance(v, URI):
+                    return A.IRI(str(v))
+                if isinstance(v, bool):
+                    return Lit("true" if v else "false", datatype=terms.XSD_BOOLEAN)
+                if isinstance(v, int):
+                    return Lit(str(v), datatype=terms.XSD_INTEGER)
+                if isinstance(v, float):
+                    return Lit(str(v), datatype=terms.XSD_DOUBLE)
+                return Lit(str(v))
+
+            names = sorted(init_bindings)
+            vp = ValuesPat([AVar(n) for n in names],
+                           [[term_of(init_bindings[n]) for n in names]])
+            if hasattr(q, "where") and q.where is not None:
+                q.where = Join(q.where, vp)
         ev = self._evaluator()
         if isinstance(q, A.SelectQuery):
             return ev.eval_select(q)
@@ -124,6 +146,8 @@ class SparkR2RStore:
             return ev.eval_ask(q)
         if isinstance(q, A.ConstructQuery):
             return ev.eval_construct(q)
+        if isinstance(q, A.DescribeQuery):
+            return ev.eval_describe(q)
         raise TypeError(f"unsupported query form {type(q).__name__}")
 
     def _query_bf(self, sparql: str, init_ns=None) -> BindingFrame:

@@ -33,9 +33,13 @@ class TemplatePart:
 
 
 def parse_template(template: str) -> list[TemplatePart]:
+    # R2RML allows \{ and \} escapes in templates (R2RML §7.3); shield them
+    # from the Formatter and restore them as literal braces in prefixes
+    shielded = template.replace("\\{", "\x00").replace("\\}", "\x01")
     parts: list[TemplatePart] = []
-    for prefix, colname, _spec, _conv in Formatter().parse(template):
-        parts.append(TemplatePart(prefix=prefix or "", column=colname or None))
+    for prefix, colname, _spec, _conv in Formatter().parse(shielded):
+        prefix = (prefix or "").replace("\x00", "{").replace("\x01", "}")
+        parts.append(TemplatePart(prefix=prefix, column=colname or None))
     return parts
 
 

@@ -28,6 +28,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<iri><[^>]*>)
+  | (?P<literal3>"{3}(?:[^"\\]|\\.|"(?!"{2}))*"{3})
   | (?P<literal>"(?:[^"\\]|\\.)*")
   | (?P<dtype>\^\^)
   | (?P<keyword2>@prefix|@base)
@@ -57,6 +58,7 @@ class _Parser:
     pos: int = 0
     prefixes: dict[str, str] = field(default_factory=dict)
     triples: list[tuple] = field(default_factory=list)
+    base: str | None = None
     _bnode_n: int = 0
 
     def _tokens(self):
@@ -96,7 +98,12 @@ class _Parser:
                 self.i += 1
                 self._expect(".")
             elif kind == "keyword" and val == "@base":
-                self.i += 3  # @base <iri> .
+                self.i += 1
+                bk, bv = self.toks[self.i]
+                assert bk == "iri"
+                self.base = bv[1:-1]
+                self.i += 1
+                self._expect(".")
             else:
                 self._statement()
         return self.triples
@@ -131,9 +138,10 @@ class _Parser:
         if kind == "bnode":
             self.i += 1
             return _Term("bnode", val)
-        if kind == "literal":
+        if kind in ("literal", "literal3"):
             self.i += 1
-            lex = val[1:-1].encode().decode("unicode_escape")
+            raw = val[3:-3] if kind == "literal3" else val[1:-1]
+            lex = raw.encode().decode("unicode_escape")
             dt = lang = None
             if self.i < len(self.toks) and self.toks[self.i][0] == "dtype":
                 self.i += 1
@@ -184,6 +192,11 @@ class _Parser:
 def parse_ttl(text: str) -> tuple[list[tuple], dict[str, str]]:
     p = _Parser(text)
     return p.parse(), p.prefixes
+
+
+def parse_ttl_with_base(text: str) -> tuple[list[tuple], dict[str, str], str | None]:
+    p = _Parser(text)
+    return p.parse(), p.prefixes, p.base
 
 
 # ---------------------------------------------------------------------------
@@ -255,9 +268,32 @@ def _term_map(g: _G, node: _Term, const_shortcut: _Term | None = None) -> TermMa
     )
 
 
+_ABS_IRI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _resolve_base(tm: TermMap, base: str | None, position: str) -> TermMap:
+    """Resolve relative IRIs against the document @base (R2RML base IRI):
+    constants and template skeletons at interpretation time; column-valued
+    IRIs at render time via TermMap.base_iri."""
+    if base is None or tm is None:
+        return tm
+    from dataclasses import replace
+
+    ttype = tm.inferred_term_type(position)
+    if ttype != "IRI":
+        return tm
+    if tm.constant is not None and not _ABS_IRI_RE.match(tm.constant):
+        return replace(tm, constant=base + tm.constant)
+    if tm.template is not None and not _ABS_IRI_RE.match(tm.template):
+        return replace(tm, template=base + tm.template)
+    if tm.column is not None:
+        return replace(tm, base_iri=base)
+    return tm
+
+
 def mapping_from_ttl(text: str) -> list[TriplesMap]:
     """Interpret an R2RML mapping document into TriplesMap dataclasses."""
-    triples, _prefixes = parse_ttl(text)
+    triples, _prefixes, _base = parse_ttl_with_base(text)
     g = _G(triples)
     # triples maps = subjects having rr:logicalTable (sql_converter.py:246-249)
     tmap_nodes: dict[str, _Term] = {}
@@ -281,28 +317,48 @@ def mapping_from_ttl(text: str) -> list[TriplesMap]:
         base_tm = _term_map(g, smap_node, s_shortcut) if (smap_node or s_shortcut) else None
         if base_tm is None:
             raise ValueError(f"triples map {name} has no subject map")
-        classes = tuple(c.value for c in (g.objs(smap_node, "class") if smap_node else []))
+        classes = tuple(
+            c.value if _base is None or _ABS_IRI_RE.match(c.value) else _base + c.value
+            for c in (g.objs(smap_node, "class") if smap_node else [])
+        )
         graphs = []
         if smap_node is not None:
             for gm in g.objs(smap_node, "graphMap"):
                 graphs.append(_term_map(g, gm))
             for gc in g.objs(smap_node, "graph"):
-                graphs.append(TermMap(constant=gc.value, term_type="IRI"))
+                graphs.append(TermMap(constant=gc.value,
+                                      term_type="IRI" if gc.kind == "iri" else "Literal"))
+        def fix_graphs(gs):
+            # rr:defaultGraph routes to the DEFAULT graph (no named graph)
+            out_g = []
+            for gm in gs:
+                if gm.constant == RR + "defaultGraph":
+                    continue
+                out_g.append(_resolve_base(gm, _base, "G"))
+            return tuple(out_g)
+
+        base_tm = _resolve_base(base_tm, _base, "S")
         smap = SubjectMap(
             constant=base_tm.constant, column=base_tm.column, template=base_tm.template,
             term_type=base_tm.term_type, datatype=base_tm.datatype,
-            language=base_tm.language, classes=classes, graphs=tuple(graphs),
+            language=base_tm.language, base_iri=base_tm.base_iri,
+            classes=classes, graphs=fix_graphs(graphs),
         )
         poms: list[PredicateObjectMap] = []
         for pom in g.objs(node, "predicateObjectMap"):
             preds = [TermMap(constant=p.value, term_type="IRI") for p in g.objs(pom, "predicate")]
             preds += [_term_map(g, pm) for pm in g.objs(pom, "predicateMap")]
+            preds = [_resolve_base(p, _base, "P") for p in preds]
             objs = [_term_map(g, None, const_shortcut=o) for o in g.objs(pom, "object")]
             objs += [_term_map(g, om) for om in g.objs(pom, "objectMap")]
+            objs = [_resolve_base(o, _base, "O") for o in objs]
             pgraphs = [_term_map(g, gm) for gm in g.objs(pom, "graphMap")]
-            pgraphs += [TermMap(constant=gc.value, term_type="IRI") for gc in g.objs(pom, "graph")]
+            pgraphs += [TermMap(constant=gc.value,
+                                term_type="IRI" if gc.kind == "iri" else "Literal")
+                        for gc in g.objs(pom, "graph")]
             poms.append(
-                PredicateObjectMap(predicates=tuple(preds), objects=tuple(objs), graphs=tuple(pgraphs))
+                PredicateObjectMap(predicates=tuple(preds), objects=tuple(objs),
+                                   graphs=fix_graphs(pgraphs))
             )
         out.append(TriplesMap(name=name, source=source, subject_map=smap, pomaps=tuple(poms)))
     return out

@@ -10,11 +10,13 @@ Scale shape (north_star: "MinHash-LSH candidate blocking"):
 - candidate pairs are verified by full-signature agreement (estimated
   Jaccard) before becoming edges.
 
-Hash family: ONE md5 base hash per shingle (engine-portable: identical in
-Spark, DuckDB and Python), then j affine permutations
-``(a_j * h + b_j) mod p`` (p = 2^31-1) — the standard universal-hash
-minhash family. One expensive hash pass instead of num_hashes passes;
-xxhash64 would be faster still but is Spark-only.
+Hash family: ONE crc32 base hash per shingle (hardware-accelerated in the
+JVM, byte-identical to Python's zlib.crc32 for the reference-twin P/R gate),
+then j affine permutations ``(a_j * h + b_j) mod p`` (p = 2^31-1) — the
+standard universal-hash minhash family. One cheap hash pass instead of
+num_hashes passes. (The oracle-paired dedup operators in operators/dedup.py
+keep md5 — that family must also reproduce in DuckDB; this module only
+feeds the pipeline, whose correctness gate is the Python twin.)
 """
 
 from __future__ import annotations
@@ -63,16 +65,64 @@ def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
 
 
 def base_hash_col(shingles: Column) -> Column:
-    """h(s) = int(md5(s)[:15 hex], 16) mod p — the one expensive pass."""
+    """h(s) = crc32(s) mod p — one cheap hardware-CRC pass per shingle
+    (Python twin: zlib.crc32, bit-identical)."""
     return F.transform(
         shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % MINHASH_P,
+        lambda s: F.crc32(F.encode(s, "UTF-8")).cast("bigint") % MINHASH_P,
+    )
+
+
+def _shingle_coeffs() -> tuple[int, int, int]:
+    """(A1, A2, B): polynomial-combination coefficients, md5-seeded."""
+    d = hashlib.md5(b"shingle-combine").hexdigest()
+    a1 = (int(d[:8], 16) % (MINHASH_P - 1)) + 1
+    a2 = (int(d[8:16], 16) % (MINHASH_P - 1)) + 1
+    b = (int(d[16:24], 16) % (MINHASH_P - 1)) + 1
+    return a1, a2, b
+
+
+def token_hash_col(toks: Column) -> Column:
+    """One crc32 per TOKEN (not per shingle) — the only byte-hashing pass."""
+    return F.transform(
+        toks, lambda t: F.crc32(F.encode(t, "UTF-8")).cast("bigint") % MINHASH_P
+    )
+
+
+def shingle_hash_col(th: Column, k: int = SHINGLE_K) -> Column:
+    """Shingle hashes combined NUMERICALLY from token hashes:
+    h(t_i..t_{i+k-1}) = (sum_j A_j * h(t_{i+j})) mod p. No shingle strings
+    are ever materialized — the string-concat allocation churn was the
+    measured scaling ceiling of the signature stage (GC-bound, flat beyond
+    ~8 cores); pure arithmetic over the token-hash array scales with cores.
+    Every intermediate stays < 2^62 (ANSI-safe). Docs with < k tokens fold
+    all token hashes into one polynomial hash (twin of joining all tokens).
+    """
+    a1, a2, b = _shingle_coeffs()
+    n = F.size(th)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    coeffs = [a1, a2, 1][:k]
+
+    def gram(i):
+        acc = None
+        for j, c in enumerate(coeffs):
+            term = F.element_at(th, (i + j + 1).cast("int")) * F.lit(c) % MINHASH_P
+            acc = term if acc is None else (acc + term) % MINHASH_P
+        return acc
+
+    folded = F.aggregate(th, F.lit(0).cast("bigint"),
+                         lambda acc, h: (acc * F.lit(b) + h) % MINHASH_P)
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.when(n > 0, F.array(folded)).otherwise(F.array().cast("array<bigint>"))
     )
 
 
 def minhash_sig_cols(base_hashes: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
-    """mh_j = min over shingles of (a_j*h + b_j) mod p — cheap arithmetic
-    over the materialized base-hash array."""
+    """mh_j = min over shingles of (a_j*h + b_j) mod p — num_hashes separate
+    transform+array_min passes over the materialized hash array. Measured
+    fastest shape on this engine: a fused one-pass struct-of-minima aggregate
+    allocates a struct per element and ANTI-scales under GC pressure
+    (72s@32 cores vs 24s for the 8-pass form on the same input)."""
     def perm(a: int, b: int):
         # closure, not default args — higher-order fns require 1-ary lambdas
         return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
@@ -85,15 +135,19 @@ def minhash_sig_cols(base_hashes: Column, num_hashes: int = DEFAULT_NUM_HASHES) 
     return cols
 
 
+
+
 def signatures(df: DataFrame, text_col: str = "text", key_col: str = "url",
                num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    # staged projections so tokens, shingles and base hashes are computed
-    # ONCE per row; the num_hashes min-hash columns then reference cheap
-    # attributes (array lambdas get no CSE — never inline expensive exprs).
+    # staged projections so tokens, token hashes and shingle hashes are
+    # computed ONCE per row; the num_hashes min-hash columns then reference
+    # cheap attributes (array lambdas get no CSE — never inline expensive
+    # exprs). Shingle hashes are numeric combinations of token hashes —
+    # no shingle strings exist anywhere in this plan.
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != "")
     step1 = df.select(F.col(key_col).alias("key"), toks.alias("_toks"))
-    step2 = step1.select("key", shingles_from_tokens(F.col("_toks")).alias("_sh"))
-    step3 = step2.select("key", base_hash_col(F.col("_sh")).alias("_hv"))
+    step2 = step1.select("key", token_hash_col(F.col("_toks")).alias("_th"))
+    step3 = step2.select("key", shingle_hash_col(F.col("_th")).alias("_hv"))
     return step3.select("key", *minhash_sig_cols(F.col("_hv"), num_hashes))
 
 

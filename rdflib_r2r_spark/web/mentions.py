@@ -9,7 +9,7 @@ map-only stage with zero shuffle for the join itself.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT_RE = "[^a-z0-9]+"
@@ -49,13 +49,22 @@ def build_alias_dict(
     total = counts.agg(F.sum("cnt").alias("t"))
     # Top-size via orderBy+limit = TakeOrderedAndProject (fully distributed,
     # per-partition top-k then merge) — the full counts table never goes
-    # through a global single-partition Window. Ranking then runs over the
-    # <=size-row result only; the constant partition key keeps WindowExec off
-    # its unpartitioned path (no single-task scale hazard: input is bounded).
+    # through a global single-partition Window. Ranking then happens WITHOUT
+    # any window at all: rank(x) = |{y : y sorts at-or-before x}| via a
+    # self-join of the <=size-row result (bounded quadratic on <=size rows;
+    # no WindowExec, no single-partition path anywhere in the plan).
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(size)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("token"))
+    a, b = top.alias("rk_a"), top.alias("rk_b")
+    before_or_self = (F.col("rk_b.cnt") > F.col("rk_a.cnt")) | (
+        (F.col("rk_b.cnt") == F.col("rk_a.cnt")) & (F.col("rk_b.token") <= F.col("rk_a.token"))
+    )
+    ranked = (
+        a.join(b, before_or_self, "inner")
+        .groupBy(F.col("rk_a.token").alias("token"), F.col("rk_a.cnt").alias("cnt"))
+        .agg(F.count(F.lit(1)).alias("entity_id"))
+    )
     return (
-        top.withColumn("entity_id", F.row_number().over(w))
+        ranked
         .crossJoin(total)
         .select(
             F.col("token").alias("alias"),

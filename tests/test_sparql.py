@@ -377,13 +377,25 @@ def test_get_sql_roundtrip(store, spark):
     assert direct.exceptAll(via_sql).count() == 0
 
 
-def test_not_implemented_dispatch():
-    # A14: explicit not-implemented dispatch (reference raises for DESCRIBE,
-    # tests/test_sql_converter.py:642-649)
+def test_not_implemented_dispatch(store):
+    # A14: explicit not-implemented dispatch (the reference raises
+    # SparqlNotImplementedError for unsupported constructs,
+    # conversion_utils.py:35-36)
     with pytest.raises(SparqlNotImplemented):
-        parse_query("DESCRIBE <http://x>")
+        store.query("SELECT ?x { ?x Demo:freight ?y } GROUP BY (STR(?x))")
     with pytest.raises(SparqlSyntaxError):
         parse_query("SELECT ?x WHERE")
+
+
+def test_describe(store):
+    # DESCRIBE is a reference GAP (test_sql_converter.py:642-649 xfail);
+    # this engine supports constants and WHERE-bound variables
+    df = store.query(f"DESCRIBE <{BASE}orders/1>")
+    got = rows(df, "subj", "pred")
+    assert all(s == f"<{BASE}orders/1>" for s, _ in got)
+    assert len(got) == 7  # type + 6 properties
+    df2 = store.query("DESCRIBE ?o WHERE { ?o Demo:freight 3.50 }")
+    assert rows(df2, "subj") == {(f"<{BASE}orders/1>",)}
 
 
 def test_parser_terms():
@@ -393,3 +405,64 @@ def test_parser_terms():
     (s1, p1, o1), (s2, p2, o2) = q.where.triples
     assert o1.language == "en"
     assert o2.datatype.endswith("integer")
+
+
+def test_min_max_over_terms(store):
+    # MIN/MAX aggregate the TERM: numeric terms order numerically, string
+    # terms lexically — both through the orderable-struct encoding
+    df = store.query(
+        "select (MIN(?fr) AS ?lo) (MAX(?fr) AS ?hi) (MIN(?c) AS ?c0) "
+        "{ ?o Demo:freight ?fr ; Demo:shipcountry ?c }"
+    )
+    r = df.collect()[0]
+    assert r["lo"] == "3.5" and r["hi"] == "65.83" and r["c0"] == "Brazil"
+
+
+def test_ttl_mapping_document_to_sparql(spark):
+    """The complete reference user path: a real R2RML mapping DOCUMENT
+    (Turtle text) + a SPARQL string -> results (reference: R2RStore(db,
+    mapping_graph) + graph.query(...))."""
+    from rdflib_r2r_spark.ttl import mapping_from_ttl
+
+    ttl = """
+    @prefix rr: <http://www.w3.org/ns/r2rml#> .
+    @prefix ex: <http://example.com/> .
+    @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+    <#OrdersMap>
+        a rr:TriplesMap;
+        rr:logicalTable [ rr:tableName "Orders" ];
+        rr:subjectMap [ rr:template "http://example.com/orders/{OrderID}";
+                        rr:class ex:Order ];
+        rr:predicateObjectMap [
+            rr:predicate ex:freight;
+            rr:objectMap [ rr:column "Freight"; rr:datatype xsd:double ]
+        ];
+        rr:predicateObjectMap [
+            rr:predicate ex:country;
+            rr:objectMap [ rr:column "ShipCountry" ]
+        ] .
+    """
+    orders = spark.createDataFrame(
+        [(1, 3.5, "France"), (2, 11.61, "Germany"), (3, 65.83, "Brazil")],
+        "OrderID int, Freight double, ShipCountry string",
+    )
+    tmaps = mapping_from_ttl(ttl)
+    store = SparkR2RStore(spark, {"Orders": orders}, tmaps,
+                          init_ns={"ex": "http://example.com/"})
+    df = store.query(
+        "SELECT ?o ?c { ?o a ex:Order ; ex:freight ?f ; ex:country ?c FILTER(?f > 10) }"
+    )
+    assert rows(df, "o", "c") == {
+        ("<http://example.com/orders/2>", "Germany"),
+        ("<http://example.com/orders/3>", "Brazil"),
+    }
+
+
+def test_init_bindings(store):
+    # reference: r2r_store.py:62-75 initBindings -> VALUES injection
+    df = store.query("select ?o ?c { ?o Demo:shipcountry ?c }",
+                     init_bindings={"c": "France"})
+    assert len(df.collect()) == 2
+    df2 = store.query("select ?o { ?o Demo:orderid ?i }", init_bindings={"i": 3})
+    assert rows(df2, "o") == {(f"<{BASE}orders/3>",)}
