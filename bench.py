@@ -79,9 +79,14 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, df_fn) -> None:
-        t0 = time.time()
-        df_fn().write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: plan compilation / codegen caches make first runs noisy
+        # by up to 2-3x on this host; the driver compares rounds on these
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            df_fn().write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     qs = E.queries()
     skip_queries = os.environ.get("SPARK_GRAFT_SKIP_QUERIES", "0") == "1"
