@@ -157,6 +157,13 @@ def main() -> None:
                 "triples_per_sec": round(tps, 1),
                 "replicate": replicate,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+                # pinned methodology so round-over-round deltas are
+                # attributable (round-2 verdict "What's wrong" #4)
+                "method": {
+                    "per_query": "best-of-2, warm JVM (parquet footer + codegen warmup reads first)",
+                    "pipeline": "single run per mode, fused headline",
+                    "timing_sink": "noop write",
+                },
             }
         )
     )

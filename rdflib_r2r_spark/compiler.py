@@ -38,6 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.canonical import canonical_datetime_col, canonical_double_col
 from rdflib_r2r_spark.mapping import (
     LogicalSource,
     TermMap,
@@ -144,6 +145,14 @@ class SparkMappingCompiler:
             if tm.datatype is None:
                 inferred = xsd_for_spark_type(schema_types[tm.column]) if tm.column in schema_types else None
                 dt = F.lit(inferred).cast("string") if inferred else _null_str()
+            # natural RDF lexical form = canonical XSD lexical of the column
+            # VALUE (R2RML §10.2; W3C TC0005a/b, TC0012a/e, TC0016b/c) —
+            # doubles render scientific (2.0E1), dateTimes get the 'T'
+            src_t = schema_types.get(tm.column)
+            if isinstance(src_t, (T.DoubleType, T.FloatType)):
+                return canonical_double_col(col), dt, lang
+            if isinstance(src_t, T.TimestampType):
+                return canonical_datetime_col(col), dt, lang
             return col.cast("string"), dt, lang
 
         if tm.template is not None:

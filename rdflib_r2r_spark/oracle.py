@@ -8,13 +8,17 @@ from our mapping dataclasses so Spark plan and SQL text share one source of
 truth for templates, encoding, and NULL guards.
 
 For cross-engine byte parity, column term maps used in oracle-paired queries
-should set ``datatype`` explicitly and avoid float-typed columns (engine
-float->string rendering differs).
+should set ``datatype`` explicitly.  Double/timestamp columns render via the
+canonical XSD lexical twins (canonical.py) when declared in ``column_types``
+— pass it for any mapping whose source has such columns.  float32 columns
+remain inadvisable (the engines' shortest-round-trip float renderings can
+disagree; doubles always agree).
 """
 
 from __future__ import annotations
 
 from rdflib_r2r_spark import terms
+from rdflib_r2r_spark.canonical import canonical_datetime_sql, canonical_double_sql
 from rdflib_r2r_spark.mapping import TermMap, TriplesMap
 from rdflib_r2r_spark.templates import template_to_sql
 
@@ -23,12 +27,30 @@ import re as _re
 
 _SIMPLE_IDENT = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
+# union of common DuckDB + Spark SQL reserved words: a table/column named one
+# of these parses as a keyword when left bare, so it must be quoted even
+# though it matches _SIMPLE_IDENT
+_RESERVED = frozenset("""
+all alter and any anti array as asc at authorization between both by case cast check
+collate column create cross cube current current_date current_time
+current_timestamp current_user database delete desc describe distinct div drop
+else end escape except exists external extract false fetch filter following
+for foreign from full function grant group grouping having if ignore ilike in
+inner insert intersect interval into is join lateral leading left like limit
+local natural not null nulls offset on only or order outer over overlaps
+partition pivot position preceding primary qualify range references regexp
+respect right rlike rollup row rows select semi session_user set show some
+sort struct table tablesample then time timestamp to trailing true truncate
+union unique unknown unpivot update user using values when where window with
+""".split())
+
 
 def _q(ident: str) -> str:
     # simple identifiers stay bare so the emitted SQL runs on BOTH DuckDB
-    # (double-quote dialect) and Spark (backtick dialect); exotic names get
-    # double quotes (DuckDB always, Spark with ansi.doubleQuotedIdentifiers)
-    if _SIMPLE_IDENT.match(ident):
+    # (double-quote dialect) and Spark (backtick dialect); exotic names or
+    # reserved words get double quotes (DuckDB always, Spark with
+    # ansi.doubleQuotedIdentifiers)
+    if _SIMPLE_IDENT.match(ident) and ident.lower() not in _RESERVED:
         return ident
     return '"' + ident.replace('"', '""') + '"'
 
@@ -37,7 +59,11 @@ def _sq(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
+def term_sql(tm: TermMap, position: str, qualify,
+             column_types: dict[str, str] | None = None) -> tuple[str, str, str]:
+    """column_types: optional col -> 'double'|'float'|'timestamp' map; those
+    columns render via the canonical XSD lexical twins (canonical.py), so the
+    oracle stays hash-identical to the Spark compiler's output."""
     ttype = tm.inferred_term_type(position)
     dt = _sq(tm.datatype) if tm.datatype else "CAST(NULL AS STRING)"
     lang = _sq(tm.language) if tm.language else "CAST(NULL AS STRING)"
@@ -53,7 +79,13 @@ def term_sql(tm: TermMap, position: str, qualify) -> tuple[str, str, str]:
         return _sq(tm.constant), dt, lang
 
     if tm.column is not None:
-        col = f"CAST({qualify(tm.column)} AS STRING)"
+        kind = (column_types or {}).get(tm.column)
+        if kind in ("double", "float"):
+            col = canonical_double_sql(qualify(tm.column))
+        elif kind == "timestamp":
+            col = canonical_datetime_sql(qualify(tm.column))
+        else:
+            col = f"CAST({qualify(tm.column)} AS STRING)"
         if ttype == "IRI":
             if tm.base_iri:
                 b = _sq(tm.base_iri)[1:-1]
@@ -90,11 +122,13 @@ def mapping_to_duckdb_sql(
     tmaps: list[TriplesMap],
     table_names: dict[str, str] | None = None,
     with_graph: bool = True,
+    column_types: dict[str, dict[str, str]] | None = None,
 ) -> str:
     """Full-dump UNION ALL SQL over all arms, same arm enumeration order as
     ``SparkMappingCompiler.compile`` is irrelevant (driver compare is
     order-insensitive), but the row SETS are identical."""
     table_names = table_names or {}
+    column_types = column_types or {}
     by_name = {tm.name: tm for tm in tmaps}
     null_s = "CAST(NULL AS STRING)"
     arms: list[str] = []
@@ -105,6 +139,7 @@ def mapping_to_duckdb_sql(
 
     for tmap in tmaps:
         src = _source_sql(tmap, table_names)
+        ct = column_types.get(tmap.source.table or "", {})
         qc = lambda c: f"c.{_q(c)}"  # noqa: E731
 
         def scan_arm(subj_sql, pred_sql, obj_sql, dt_sql, lang_sql, g_sql, from_sql):
@@ -120,7 +155,7 @@ def mapping_to_duckdb_sql(
                 f" AND ({obj_sql}) IS NOT NULL"
             )
 
-        subj_sql, _, _ = term_sql(tmap.subject_map, "S", qc)
+        subj_sql, _, _ = term_sql(tmap.subject_map, "S", qc, ct)
         for cls in tmap.subject_map.classes:
             for g in (list(tmap.subject_map.graphs) or [None]):
                 scan_arm(
@@ -155,7 +190,7 @@ def mapping_to_duckdb_sql(
                                 from_sql = f"{src} c"
                             scan_arm(subj_sql, pred_sql, obj_sql, null_s, null_s, g_sql, from_sql)
                         else:
-                            obj_sql, dt_sql, lang_sql = term_sql(obj, "O", qc)
+                            obj_sql, dt_sql, lang_sql = term_sql(obj, "O", qc, ct)
                             scan_arm(subj_sql, pred_sql, obj_sql, dt_sql, lang_sql, g_sql, f"{src} c")
 
     return "\nUNION ALL\n".join(arms)

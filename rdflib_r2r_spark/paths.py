@@ -174,12 +174,18 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
             if n2 == n:
                 break
             n = n2
+        else:
+            raise RuntimeError(
+                f"transitive_closure(doubling) did not converge within "
+                f"max_iter={max_iter} rounds; raise max_iter"
+            )
         return reach.select(F.col("s").alias(src), F.col("o").alias(dst))
 
     # semi-naive: reach accumulates, frontier = pairs first seen last round
     edge_hop = base.select(F.col("s").alias("_m"), F.col("o").alias("_o"))
     reach = base
     frontier = base
+    converged = False
     for _ in range(max_iter):
         extended = (
             frontier.join(edge_hop, frontier["o"] == edge_hop["_m"], "inner")
@@ -190,7 +196,14 @@ def transitive_closure(edges: DataFrame, src: str = "src", dst: str = "dst",
         # one pass over reach's join column, never re-distincts the closure
         new_pairs = extended.join(reach, ["s", "o"], "left_anti").localCheckpoint(eager=True)
         if new_pairs.isEmpty():
+            converged = True
             break
         reach = reach.unionByName(new_pairs).localCheckpoint(eager=True)
         frontier = new_pairs
+    if not converged:
+        # a silently truncated closure is silently WRONG results — fail loudly
+        raise RuntimeError(
+            f"transitive_closure did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the iteration cap); raise max_iter"
+        )
     return reach.select(F.col("s").alias(src), F.col("o").alias(dst))

@@ -145,13 +145,32 @@ def tables_from_sql(spark, create_sql: str) -> dict:
     # suite's x'ABCD' hex blob literals need an explicit from_hex
     create_sql = re.sub(r"(?i)\b(BLOB|VARBINARY|BINARY)\s*\(\s*\d+\s*\)", "BLOB", create_sql)
     create_sql = re.sub(r"\b[xX]'([0-9A-Fa-f]*)'", r"from_hex('\1')", create_sql)
+    # SQL CHAR(n) is right-padded to n (W3C TC0018a expects the padded
+    # lexical); DuckDB normalizes CHAR(n) to VARCHAR and stores values
+    # unpadded, so collect the declared widths from the DDL and rpad on lift.
+    char_cols: dict[str, int] = {}
+    for m in re.finditer(
+        r'"([^"]+)"\s+CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)', create_sql, re.I
+    ):
+        char_cols[m.group(1)] = int(m.group(2))
     con = duckdb.connect()
     con.execute(create_sql)
     tables = {}
     for (name,) in con.execute(
         "SELECT table_name FROM information_schema.tables WHERE table_schema = 'main'"
     ).fetchall():
-        arrow = con.execute(f'SELECT * FROM "{name}"').arrow()
+        cols = [
+            r[0] for r in con.execute(
+                "SELECT column_name FROM information_schema.columns "
+                "WHERE table_name = ? ORDER BY ordinal_position", [name]
+            ).fetchall()
+        ]
+        select = ", ".join(
+            f'rpad("{c}", {char_cols[c]}, \' \') AS "{c}"' if c in char_cols
+            else f'"{c}"'
+            for c in cols
+        )
+        arrow = con.execute(f'SELECT {select} FROM "{name}"').arrow()
         tables[name] = spark.createDataFrame(arrow)
     return tables
 

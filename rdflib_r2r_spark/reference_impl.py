@@ -128,7 +128,8 @@ def reference_triples(
     for d in docs:
         url = BASE_URL + str(d["doc_id"])
         ts = epoch + timedelta(seconds=int(d["doc_id"]))
-        triples.add((f"<{url}>", f"<{EX}fetched>", ts.strftime("%Y-%m-%d %H:%M:%S")))
+        # canonical xsd:dateTime lexical ('T' separator, W3C TC0016b/c)
+        triples.add((f"<{url}>", f"<{EX}fetched>", ts.strftime("%Y-%m-%dT%H:%M:%S")))
     for url, text in texts.items():
         triples.add((f"<{url}>", RDF_TYPE, f"<{EX}Document>"))
         triples.add((f"<{url}>", f"<{EX}lang>", langs[url]))

@@ -336,17 +336,25 @@ class BGPCompiler:
             args_a = [p.column for p in parse_template(ta.template) if p.column]
             args_b = [p.column for p in parse_template(tb.template) if p.column]
             return [
-                self._col_eq(a.slot, ca, b.slot, cb)
+                c
                 for ca, cb in zip(args_a, args_b)
+                if (c := self._col_eq(a.slot, ca, b.slot, cb)) is not None
             ]
         if ta.column is not None and tb.column is not None:
-            return [self._col_eq(a.slot, ta.column, b.slot, tb.column)]
+            c = self._col_eq(a.slot, ta.column, b.slot, tb.column)
+            return [] if c is None else [c]
         # mixed template/column: fall back to rendered equality
         lex_a = self._render(a)[0]
         lex_b = self._render(b)[0]
         return [lex_a == lex_b]
 
-    def _col_eq(self, sa: Slot, ca: str, sb: Slot, cb: str) -> Column:
+    def _col_eq(self, sa: Slot, ca: str, sb: Slot, cb: str) -> Column | None:
+        if sa.alias == sb.alias and ca == cb:
+            # same slot + same column: two occurrences of a shared variable
+            # already unified to one physical expression — emitting the
+            # condition would put a trivially-true `x == x` filter in every
+            # star-pattern plan (dead work + Spark WARN spam)
+            return None
         if type(sa.types.get(ca)) is type(sb.types.get(cb)):
             return sa.col(ca) == sb.col(cb)
         return sa.col(ca).cast("string") == sb.col(cb).cast("string")
@@ -443,9 +451,9 @@ class BGPCompiler:
                     if arm.obj_tm.join_conditions:
                         parent = slot_for(o, arm.parent)
                         for jc in arm.obj_tm.join_conditions:
-                            conditions.append(
-                                (child, parent, self._col_eq(child, jc.child, parent, jc.parent))
-                            )
+                            jcond = self._col_eq(child, jc.child, parent, jc.parent)
+                            if jcond is not None:
+                                conditions.append((child, parent, jcond))
                         add_occ(o, arm.parent.subject_map, parent, "S")
                     else:
                         # same-table referencing map: same row, no join

@@ -69,6 +69,11 @@ class BindingFrame:
     df: DataFrame
     term_vars: set[str]
     native_vars: dict[str, str] = dc_field(default_factory=dict)  # var -> kind
+    # vars that MAY be unbound (NULL lex) in some solutions: produced by
+    # OPTIONAL right sides, VALUES UNDEF, UNION padding, BIND errors.  Joins
+    # apply SPARQL compatibility (unbound matches anything) ONLY for these,
+    # keeping the common always-bound path a plain hash-joinable equi-join.
+    maybe_null: set[str] = dc_field(default_factory=set)
 
     @property
     def all_vars(self) -> set[str]:
@@ -216,8 +221,13 @@ class Evaluator:
             parts.append(dump.filter(F.col("subj").isin(lexes)))
         if q.where is not None:
             bf = self.eval_pattern(q.where)
-            names = [v.name for v in vars_ if v.name in bf.all_vars] or \
-                sorted(v for v in bf.term_vars if not v.startswith("__"))
+            if q.terms:
+                # explicit DESCRIBE terms: describe exactly those (constants
+                # were handled above; variables resolve via WHERE solutions)
+                names = [v.name for v in vars_ if v.name in bf.all_vars]
+            else:
+                # DESCRIBE * — every variable the WHERE clause binds
+                names = sorted(v for v in bf.term_vars if not v.startswith("__"))
             for name in names:
                 nodes = bf.df.select(F.col(name).alias("__n")).distinct()
                 parts.append(
@@ -232,6 +242,8 @@ class Evaluator:
 
     def eval_construct(self, q: A.ConstructQuery) -> DataFrame:
         bf = self.eval_pattern(q.where)
+        if not q.template:  # legal: CONSTRUCT { } WHERE { ... } -> empty graph
+            return self._dump_df().limit(0)
         parts = []
         for s, p, o in q.template:
             if isinstance(p, pathmod.Pred):
@@ -319,7 +331,7 @@ class Evaluator:
             if not sort_cols:
                 return frame
             return BindingFrame(frame.df.orderBy(*sort_cols), frame.term_vars,
-                                frame.native_vars)
+                                frame.native_vars, frame.maybe_null)
 
         if not (q.distinct or q.reduced):
             # ORDER BY may reference non-projected vars: sort BEFORE
@@ -343,17 +355,21 @@ class Evaluator:
             df,
             {v for v in proj_names if v in bf.term_vars},
             {v: k for v, k in bf.native_vars.items() if v in proj_names},
+            {v for v in proj_names if v in bf.maybe_null or v not in bf.all_vars},
         )
 
         if q.distinct or q.reduced:
             # SPARQL 18.2.5: Distinct applies to the projected multiset,
             # ORDER/Slice run over the distinct solutions
-            out = BindingFrame(out.df.distinct(), out.term_vars, out.native_vars)
+            out = BindingFrame(out.df.distinct(), out.term_vars, out.native_vars,
+                               out.maybe_null)
             out = sort_frame(out)
         if q.offset:
-            out = BindingFrame(out.df.offset(q.offset), out.term_vars, out.native_vars)
+            out = BindingFrame(out.df.offset(q.offset), out.term_vars,
+                               out.native_vars, out.maybe_null)
         if q.limit is not None:
-            out = BindingFrame(out.df.limit(q.limit), out.term_vars, out.native_vars)
+            out = BindingFrame(out.df.limit(q.limit), out.term_vars,
+                               out.native_vars, out.maybe_null)
         return out
 
     # -- grouping / aggregation ---------------------------------------------------
@@ -421,6 +437,9 @@ class Evaluator:
             gdf,
             {v for v in key_vars if v in bf.term_vars},
             {v: k for v, k in bf.native_vars.items() if v in key_vars},
+            # null keys group together; aggregates over empty/all-null input
+            # (e.g. SUM of an OPTIONAL var) can come back NULL
+            {v for v in key_vars if v in bf.maybe_null} | set(aggs.values()),
         )
         for c, n in aggs.items():
             if c.name == "GROUP_CONCAT":
@@ -681,6 +700,15 @@ class Evaluator:
     def _join(self, a: BindingFrame, b: BindingFrame, how: str = "inner",
               filter_expr=None) -> BindingFrame:
         shared = a.all_vars & b.all_vars
+        # SPARQL compatibility: an UNBOUND shared var matches anything.  Only
+        # vars that can actually be unbound (maybe_null) get the relaxed
+        # condition — everything else stays a plain equi-join (hash-joinable).
+        compat = {v for v in shared if v in a.maybe_null or v in b.maybe_null}
+        for v in compat:
+            # normalize kind so both sides carry the 4-column term encoding
+            if (v in a.term_vars) != (v in b.term_vars):
+                a = self._coerce_to_term(a, v)
+                b = self._coerce_to_term(b, v)
         # rename ALL b columns to avoid ambiguity
         ren = {}
         bdf = b.df
@@ -691,16 +719,17 @@ class Evaluator:
         cond = F.lit(True)
         for v in shared:
             if v in a.term_vars and v in b.term_vars:
-                cond = cond & (F.col(v) == F.col(v + "__rj")) \
+                eq = (F.col(v) == F.col(v + "__rj")) \
                     & F.col(v + "__dt").eqNullSafe(F.col(v + "__dt__rj")) \
                     & F.col(v + "__lang").eqNullSafe(F.col(v + "__lang__rj"))
             elif (v in a.native_vars) and (v in b.native_vars):
-                cond = cond & (F.col(v) == F.col(v + "__rj"))
+                eq = F.col(v) == F.col(v + "__rj")
             else:
                 # term on one side, native on the other: compare lexically
-                cond = cond & (
-                    F.col(v).cast("string") == F.col(v + "__rj").cast("string")
-                )
+                eq = F.col(v).cast("string") == F.col(v + "__rj").cast("string")
+            if v in compat:
+                eq = F.col(v).isNull() | F.col(v + "__rj").isNull() | eq
+            cond = cond & eq
 
         if filter_expr is not None:
             # LeftJoin ON expression: compile over the merged namespace where
@@ -709,16 +738,43 @@ class Evaluator:
             cond = cond & self.compile_expr(filter_expr, merged, rj_suffix_for=b.all_vars - a.all_vars).as_bool()
 
         joined = a.df.join(bdf, on=cond, how=how)
-        # keep a's columns for shared vars; adopt b's for b-only vars
-        out_cols = [F.col(c) for v in a.all_vars for c in a.columns_for(v)]
+        # keep a's columns for shared vars (merged solutions adopt the bound
+        # side for compat vars); adopt b's for b-only vars
+        out_cols = []
+        for v in a.all_vars:
+            if v in compat:
+                # the merged binding takes whichever side is bound; shadow
+                # columns must follow the lex column's side
+                pick_a = F.col(v).isNotNull()
+                for c in a.columns_for(v):
+                    out_cols.append(
+                        F.when(pick_a, F.col(c)).otherwise(F.col(c + "__rj")).alias(c)
+                    )
+            else:
+                out_cols.extend(F.col(c) for c in a.columns_for(v))
         for v in sorted(b.all_vars - a.all_vars):
             for c in b.columns_for(v):
                 out_cols.append(F.col(c + "__rj").alias(c))
         df = joined.select(*out_cols)
+        out_null = set()
+        for v in a.all_vars | b.all_vars:
+            if v in shared:
+                if how == "inner":
+                    if v in a.maybe_null and v in b.maybe_null:
+                        out_null.add(v)
+                elif v in a.maybe_null:  # left_outer keeps a's (possibly null)
+                    out_null.add(v)
+            elif v in a.all_vars:
+                if v in a.maybe_null:
+                    out_null.add(v)
+            else:  # b-only
+                if how != "inner" or v in b.maybe_null:
+                    out_null.add(v)
         return BindingFrame(
             df,
             a.term_vars | b.term_vars,
             {**b.native_vars, **a.native_vars},
+            out_null,
         )
 
     def _merged_frame_for_expr(self, a: BindingFrame, b: BindingFrame) -> BindingFrame:
@@ -747,6 +803,8 @@ class Evaluator:
             a.term_vars | b.term_vars,
             {**a.native_vars, **{k: v for k, v in b.native_vars.items()
                                  if k not in a.term_vars}},
+            # padded vars are NULL on the branch that lacks them
+            a.maybe_null | b.maybe_null | (a.all_vars ^ b.all_vars),
         )
 
     def _coerce_to_term(self, bf: BindingFrame, v: str) -> BindingFrame:
@@ -761,22 +819,32 @@ class Evaluator:
         df = df.withColumn(f"{v}__lang", F.lit(None).cast("string"))
         df = df.withColumn(v, F.col(v).cast("string"))
         bf.term_vars.add(v)
-        return BindingFrame(df, bf.term_vars, bf.native_vars)
+        return BindingFrame(df, bf.term_vars, bf.native_vars, bf.maybe_null)
 
     def _minus(self, a: BindingFrame, b: BindingFrame) -> BindingFrame:
         shared = a.all_vars & b.all_vars
         if not shared:
             return a  # disjoint domains: nothing is compatible, remove nothing
+        nullable = {v for v in shared if v in a.maybe_null or v in b.maybe_null}
         bdf = b.df
         for v in shared:
             for c in b.columns_for(v):
                 bdf = bdf.withColumnRenamed(c, c + "__rj")
         cond = F.lit(True)
         for v in shared:
-            cond = cond & (F.col(v) == F.col(v + "__rj"))
+            eq = F.col(v) == F.col(v + "__rj")
+            if v in nullable:
+                eq = F.col(v).isNull() | F.col(v + "__rj").isNull() | eq
+            cond = cond & eq
+        if nullable:
+            # MINUS removes μ1 only if a compatible μ2 shares ≥1 BOUND var
+            dom = F.lit(False)
+            for v in shared:
+                dom = dom | (F.col(v).isNotNull() & F.col(v + "__rj").isNotNull())
+            cond = cond & dom
         out = a.df.join(bdf.select(*[F.col(c + "__rj") for v in shared for c in [v]]).distinct(),
                         on=cond, how="left_anti")
-        return BindingFrame(out, a.term_vars, a.native_vars)
+        return BindingFrame(out, a.term_vars, a.native_vars, a.maybe_null)
 
     def _values(self, p: A.ValuesPat) -> BindingFrame:
         fields, term_vars = [], set()
@@ -789,17 +857,21 @@ class Evaluator:
                 T.StructField(f"{v.name}__num", T.DoubleType()),
             ])
         rows = []
+        undef_vars: set[str] = set()
         for row in p.rows:
             out = []
-            for t in row:
+            for v, t in zip(p.vars, row):
                 lex, dt, lang = encode_term(t)
+                if lex is None:  # UNDEF: unbound wildcard, matches anything
+                    undef_vars.add(v.name)
                 num = None
                 if isinstance(t, Lit) and (t.datatype in _NUMERIC_XSD):
                     num = float(t.value)
                 out.extend([lex, dt, lang, num])
             rows.append(tuple(out))
         return BindingFrame(
-            self.spark.createDataFrame(rows, T.StructType(fields)), term_vars
+            self.spark.createDataFrame(rows, T.StructType(fields)), term_vars,
+            maybe_null=undef_vars,
         )
 
     # -- filter / extend -------------------------------------------------------------
@@ -808,7 +880,9 @@ class Evaluator:
         bf, expr = self._materialize_exists(bf, expr)
         ev = self.compile_expr(expr, bf)
         out = bf.df.filter(ev.as_bool())
-        return self._drop_markers(BindingFrame(out, bf.term_vars, bf.native_vars))
+        return self._drop_markers(
+            BindingFrame(out, bf.term_vars, bf.native_vars, bf.maybe_null)
+        )
 
     def _drop_markers(self, bf: BindingFrame) -> BindingFrame:
         markers = [c for c in bf.df.columns if c.startswith("__ex_")]
@@ -818,6 +892,7 @@ class Evaluator:
             bf.df.drop(*markers),
             bf.term_vars,
             {k: v for k, v in bf.native_vars.items() if k not in set(markers)},
+            bf.maybe_null,
         )
 
     def _materialize_exists(self, bf: BindingFrame, expr):
@@ -835,19 +910,45 @@ class Evaluator:
                     # uncorrelated EXISTS: constant marker
                     flag = not inner.df.isEmpty()
                     bf = BindingFrame(bf.df.withColumn(marker, F.lit(flag)),
-                                      bf.term_vars, {**bf.native_vars, marker: "bool"})
+                                      bf.term_vars, {**bf.native_vars, marker: "bool"},
+                                      bf.maybe_null)
                 else:
+                    nullable = [v for v in shared if v in bf.maybe_null]
                     idf = inner.df.select(
                         *[F.col(v).alias(v + "__exr") for v in shared]
                     ).distinct().withColumn(marker, F.lit(True))
                     cond = F.lit(True)
                     for v in shared:
-                        cond = cond & (F.col(v) == F.col(v + "__exr"))
+                        eq = F.col(v) == F.col(v + "__exr")
+                        if v in nullable:
+                            # unbound outer var is compatible with any binding
+                            eq = F.col(v).isNull() | eq
+                        cond = cond & eq
+                    if not nullable:
+                        joined = (
+                            bf.df.join(idf, on=cond, how="left_outer")
+                            .drop(*[v + "__exr" for v in shared])
+                            .withColumn(marker, F.coalesce(F.col(marker), F.lit(False)))
+                        )
+                    else:
+                        # a NULL outer var can match several distinct inner
+                        # rows; collapse back to one row per outer solution
+                        rid = f"__ex_rid_{self._marker_n}"
+                        src = bf.df.withColumn(rid, F.monotonically_increasing_id())
+                        j = src.join(idf, on=cond, how="left_outer")
+                        keep = [c for c in bf.df.columns]
+                        joined = (
+                            j.groupBy(rid)
+                            .agg(
+                                *[F.first(c, ignorenulls=False).alias(c) for c in keep],
+                                F.max(F.coalesce(F.col(marker), F.lit(False))).alias(marker),
+                            )
+                            .drop(rid)
+                        )
                     bf = BindingFrame(
-                        bf.df.join(idf, on=cond, how="left_outer")
-                        .drop(*[v + "__exr" for v in shared])
-                        .withColumn(marker, F.coalesce(F.col(marker), F.lit(False))),
+                        joined,
                         bf.term_vars, {**bf.native_vars, marker: "bool"},
+                        bf.maybe_null,
                     )
                 flag_col = Var(marker)
                 return Op("!", (flag_col,)) if e.negated else flag_col
@@ -874,11 +975,16 @@ class Evaluator:
                   .withColumn(f"{name}__num", ev.as_num()))
             tv = set(bf.term_vars)
             tv.add(name)
-            return self._drop_markers(BindingFrame(df, tv, bf.native_vars))
+            # a BIND whose expression errors leaves the var unbound (NULL)
+            return self._drop_markers(
+                BindingFrame(df, tv, bf.native_vars, bf.maybe_null | {name})
+            )
         df = bf.df.withColumn(name, ev.out_col())
         nv = dict(bf.native_vars)
         nv[name] = ev.kind
-        return self._drop_markers(BindingFrame(df, bf.term_vars, nv))
+        return self._drop_markers(
+            BindingFrame(df, bf.term_vars, nv, bf.maybe_null | {name})
+        )
 
     # -- expression compiler ------------------------------------------------------------
 

@@ -214,8 +214,18 @@ class SparkR2RStore:
     def get_sql(self, table_names: dict[str, str] | None = None) -> str:
         """Executable SQL text of the full mapping dump — runnable by BOTH
         ``spark.sql`` (against temp views of the source tables) and DuckDB;
-        the generator emits the engine-neutral dialect subset."""
-        return mapping_to_duckdb_sql(self.tmaps, table_names=table_names)
+        the generator emits the engine-neutral dialect subset.  Double/
+        timestamp columns render via the canonical XSD lexical twins so the
+        text stays byte-identical to the compiled dump."""
+        from rdflib_r2r_spark.canonical import column_types_for_canonical
+
+        col_types = {
+            name: ct
+            for name, df in self.tables.items()
+            if (ct := column_types_for_canonical(df.schema))
+        }
+        return mapping_to_duckdb_sql(self.tmaps, table_names=table_names,
+                                     column_types=col_types)
 
     def register_views(self) -> None:
         """Register source tables as temp views so get_sql() output runs."""

@@ -153,8 +153,33 @@ def signatures(df: DataFrame, text_col: str = "text", key_col: str = "url",
 
 def band_df(sigs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES,
             band_rows: int = DEFAULT_BAND_ROWS) -> DataFrame:
-    """(key, band_id, band_val): band value = concat of its rows' minhashes."""
+    """(key, band_id, band_val): band value combining the band's minhashes.
+
+    For band_rows <= 2 the band value is a BIGINT (``mh0 * 2^31 + mh1`` —
+    injective since each minhash < 2^31-1, and < 2^62 so ANSI-safe): the
+    LSH self-join then shuffles 8-byte keys instead of ~20-byte strings,
+    which at 10^12 docs is the difference between a band exchange that fits
+    network budgets and one that does not. Wider bands fall back to the
+    string concat (still injective via the separator)."""
     bands = num_hashes // band_rows
+    if band_rows <= 2:
+        def val(b: int):
+            cols = [F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+            acc = cols[0]
+            for c in cols[1:]:
+                acc = acc * F.lit(1 << 31) + c
+            return acc
+
+        arms = [
+            F.struct(F.lit(b).alias("band_id"), val(b).alias("band_val"))
+            for b in range(bands)
+        ]
+        return (
+            sigs.select("key", F.explode(F.array(*arms)).alias("b"))
+            .select("key", F.col("b.band_id").alias("band_id"),
+                    F.col("b.band_val").alias("band_val"))
+            .filter(F.col("band_val").isNotNull())
+        )
     arms = [
         F.struct(
             F.lit(b).alias("band_id"),

@@ -93,16 +93,17 @@ def detect_mentions(pages: DataFrame, alias_dict: DataFrame,
 
 def mention_triples(mentions: DataFrame) -> DataFrame:
     """Distinct (doc, ex:mentions, entity) triples in the engine's term
-    encoding."""
+    encoding.  Late IRI rendering: the distinct shuffles the RAW
+    (url, entity_id) pair — one short string + one bigint — and the
+    `<iri>` strings are concatenated only once, after the exchange, on the
+    already-deduplicated rows (E18 applied to the materialization path)."""
     return (
-        mentions.select(
+        mentions.select("url", "entity_id")
+        .distinct()
+        .select(
             F.concat(F.lit("<"), F.col("url"), F.lit(">")).alias("subj"),
             F.lit("<http://ex.org/mentions>").alias("pred"),
             F.concat(F.lit("<" + ENTITY_BASE), F.col("entity_id").cast("string"), F.lit(">")).alias("obj"),
-        )
-        .distinct()
-        .select(
-            "subj", "pred", "obj",
             F.lit(None).cast("string").alias("obj_dt"),
             F.lit(None).cast("string").alias("obj_lang"),
             F.lit(None).cast("string").alias("graph"),

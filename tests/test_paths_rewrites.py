@@ -224,3 +224,27 @@ def test_same_table_tmaps_share_one_scan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") == 1, plan
     assert df.count() == 4
+
+
+def test_transitive_closure_nonconvergence_raises(spark):
+    # advisor round-3: silent truncation at max_iter = silently wrong results.
+    # A 6-deep chain cannot converge in 2 rounds -> must raise, not truncate.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(edges, max_iter=2)
+    # and with enough rounds the same graph converges fine
+    tc = {(r["src"], r["dst"]) for r in transitive_closure(edges, max_iter=10).collect()}
+    assert (0, 6) in tc and len(tc) == 21
+
+
+def test_transitive_closure_doubling_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src int, dst int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(edges, max_iter=2, strategy="doubling")
+    tc = {(r["src"], r["dst"]) for r in
+          transitive_closure(edges, max_iter=6, strategy="doubling").collect()}
+    assert (0, 9) in tc and len(tc) == 45

@@ -22,23 +22,23 @@ ZIP = rdb2rdf.find_suite_zip()
 
 pytestmark = pytest.mark.skipif(ZIP is None, reason="rdb2rdf suite zip not available")
 
-# pinned by scripts/rdb2rdf_sweep.py. For comparison, the reference passes
-# 43 of the shared positive cases (docs/test-results/rdb2rdf.md) — including
-# four this engine intentionally diverges on (xsd:double canonical 2.0E1
-# form: TC0005a/b, 0012a/e render shortest-round-trip '20.0'; xsd:dateTime
-# 'T' separator: 0016b/c; CHAR(n) right-padding: 0018a — DuckDB does not
-# pad) — while this engine passes cases the reference fails (0007e/g class
-# triples into named graphs, 0012b) or skips.
+# pinned by scripts/rdb2rdf_sweep.py. A strict superset of the reference's
+# passing set (docs/test-results/rdb2rdf.md): round 3 closed the canonical-
+# lexical gap (xsd:double 2.0E1 form via canonical.py: TC0005a/b, 0012a/e;
+# xsd:dateTime 'T' separator: 0016b/c; CHAR(n) right-padding at the source
+# adapter: 0018a), and this engine additionally passes cases the reference
+# fails (0007e/g class triples into named graphs, 0012b) or skips.
 EXPECTED_PASS: set[str] = set(
     """R2RMLTC0001a R2RMLTC0001b R2RMLTC0002a R2RMLTC0002b R2RMLTC0002d
     R2RMLTC0002i R2RMLTC0002j R2RMLTC0003b R2RMLTC0003c R2RMLTC0004a
-    R2RMLTC0006a R2RMLTC0007a R2RMLTC0007b R2RMLTC0007c R2RMLTC0007d
-    R2RMLTC0007e R2RMLTC0007f R2RMLTC0007g R2RMLTC0008a R2RMLTC0008b
-    R2RMLTC0008c R2RMLTC0009a R2RMLTC0009b R2RMLTC0009c R2RMLTC0009d
-    R2RMLTC0010a R2RMLTC0010b R2RMLTC0010c R2RMLTC0011a R2RMLTC0011b
-    R2RMLTC0012b R2RMLTC0013a R2RMLTC0014a R2RMLTC0014b R2RMLTC0014c
-    R2RMLTC0014d R2RMLTC0015a R2RMLTC0016a R2RMLTC0016d R2RMLTC0016e
-    R2RMLTC0019a R2RMLTC0020a""".split()
+    R2RMLTC0005a R2RMLTC0005b R2RMLTC0006a R2RMLTC0007a R2RMLTC0007b
+    R2RMLTC0007c R2RMLTC0007d R2RMLTC0007e R2RMLTC0007f R2RMLTC0007g
+    R2RMLTC0008a R2RMLTC0008b R2RMLTC0008c R2RMLTC0009a R2RMLTC0009b
+    R2RMLTC0009c R2RMLTC0009d R2RMLTC0010a R2RMLTC0010b R2RMLTC0010c
+    R2RMLTC0011a R2RMLTC0011b R2RMLTC0012a R2RMLTC0012b R2RMLTC0012e
+    R2RMLTC0013a R2RMLTC0014a R2RMLTC0014b R2RMLTC0014c R2RMLTC0014d
+    R2RMLTC0015a R2RMLTC0016a R2RMLTC0016b R2RMLTC0016c R2RMLTC0016d
+    R2RMLTC0016e R2RMLTC0018a R2RMLTC0019a R2RMLTC0020a""".split()
 )
 
 # invalid-mapping / invalid-SQL cases: a conforming processor must ERROR

@@ -107,13 +107,14 @@ def rows(df, *cols):
 def test_order_value_by_id(store):
     # reference: test_sql_converter.py:83
     df = store.query("select ?v { ?o a Demo:Orders; Demo:orderid 1; Demo:freight ?v}")
-    assert rows(df, "v") == {("3.5",)}
+    # canonical xsd:double lexical (W3C TC0005a form)
+    assert rows(df, "v") == {("3.5E0",)}
 
 
 def test_concrete_order_value(store):
     # reference: test_sql_converter.py:87 — constant-subject inversion
     df = store.query(f"select ?v {{ <{BASE}orders/1> Demo:freight ?v}}")
-    assert rows(df, "v") == {("3.5",)}
+    assert rows(df, "v") == {("3.5E0",)}
 
 
 def test_concrete_order_concrete_value(store):
@@ -152,7 +153,7 @@ def test_join(store):
         "select ?shid ?fr { ?sh Demo:shipperid ?shid; Demo:shippers_of_orders ?o. ?o Demo:freight ?fr. }"
     )
     assert rows(df, "shid", "fr") == {
-        ("1", "3.5"), ("1", "11.61"), ("2", "65.83"), ("2", "41.34"),
+        ("1", "3.5E0"), ("1", "1.161E1"), ("2", "6.583E1"), ("2", "4.134E1"),
     }
 
 
@@ -215,13 +216,13 @@ def test_sparql_join_two_tables(store):
 def test_orderby_limit(store):
     # reference: test_sql_converter.py:206
     df = store.query("select ?fr { ?o Demo:freight ?fr } ORDER BY ?fr LIMIT 2")
-    assert [r["fr"] for r in df.collect()] == ["3.5", "11.61"]
+    assert [r["fr"] for r in df.collect()] == ["3.5E0", "1.161E1"]
 
 
 def test_orderby_desc_limit_offset(store):
     # reference: test_sql_converter.py:214
     df = store.query("select ?fr { ?o Demo:freight ?fr } ORDER BY DESC(?fr) LIMIT 2 OFFSET 1")
-    assert [r["fr"] for r in df.collect()] == ["41.34", "11.61"]
+    assert [r["fr"] for r in df.collect()] == ["4.134E1", "1.161E1"]
 
 
 def test_const_query(store):
@@ -415,7 +416,7 @@ def test_min_max_over_terms(store):
         "{ ?o Demo:freight ?fr ; Demo:shipcountry ?c }"
     )
     r = df.collect()[0]
-    assert r["lo"] == "3.5" and r["hi"] == "65.83" and r["c0"] == "Brazil"
+    assert r["lo"] == "3.5E0" and r["hi"] == "6.583E1" and r["c0"] == "Brazil"
 
 
 def test_ttl_mapping_document_to_sparql(spark):
@@ -466,3 +467,96 @@ def test_init_bindings(store):
     assert len(df.collect()) == 2
     df2 = store.query("select ?o { ?o Demo:orderid ?i }", init_bindings={"i": 3})
     assert rows(df2, "o") == {(f"<{BASE}orders/3>",)}
+
+
+# -- SPARQL unbound-compatibility semantics (round-3 advisor fixes) ---------------
+
+
+def test_values_undef_is_wildcard(store):
+    # UNDEF in VALUES is an unbound binding: compatible with every solution
+    # for that variable, not "match NULL" (SPARQL 10.2 / compatibility)
+    df = store.query(
+        """select ?o ?c { ?o Demo:shipcountry ?c .
+           VALUES (?c) { ("France") (UNDEF) } }"""
+    )
+    # France rows match the France row; UNDEF row matches ALL 4 orders
+    assert len(df.collect()) == 2 + 4
+
+
+def test_values_undef_two_cols(store):
+    df = store.query(
+        """select ?o ?c ?sci { ?o Demo:shipcountry ?c ; Demo:shipcity ?sci .
+           VALUES (?c ?sci) { ("Brazil" UNDEF) (UNDEF "Reims") } }"""
+    )
+    got = rows(df, "c", "sci")
+    assert got == {("Brazil", "Rio"), ("France", "Reims")}
+
+
+def test_optional_unbound_join_is_compatible(store):
+    # A solution with an OPTIONAL-unbound shared var must still join with a
+    # later pattern that binds it (unbound matches anything), adopting the
+    # bound value.  Order 4 has no shippeddate.
+    df = store.query(
+        """select ?o ?d { { ?o a Demo:Orders OPTIONAL { ?o Demo:shippeddate ?d } }
+           { ?x Demo:orderdate ?d } }"""
+    )
+    got = rows(df, "o", "d")
+    # order 4's unbound ?d joins every orderdate value (4 dates, 3 distinct)
+    o4 = {t for t in got if t[0] == f"<{BASE}orders/4>"}
+    assert {d for _, d in o4} == {"1996-07-04", "1996-07-05", "1996-07-08"}
+    # bound rows only survive when shippeddate equals some orderdate:
+    # 1996-07-08 (order 3) is both a shippeddate and an orderdate
+    bound = {t for t in got if t[0] != f"<{BASE}orders/4>"}
+    assert bound == {(f"<{BASE}orders/3>", "1996-07-08")}
+
+
+def test_minus_with_unbound_shared_var(store):
+    # MINUS removes a solution only if a compatible right solution shares at
+    # least one BOUND variable; an all-unbound overlap removes nothing
+    df = store.query(
+        """select ?o { ?o a Demo:Orders
+           MINUS { ?o Demo:shipcountry "France" } }"""
+    )
+    assert rows(df, "o") == {(f"<{BASE}orders/2>",), (f"<{BASE}orders/3>",)}
+
+
+def test_describe_constant_only_describes_named(store):
+    # DESCRIBE <iri> WHERE {...} must NOT fall back to describing every
+    # WHERE-bound variable (advisor finding)
+    df = store.query(
+        f"DESCRIBE <{BASE}orders/1> WHERE {{ ?o Demo:shipcountry 'France' }}"
+    )
+    subj = {r["subj"] for r in df.collect()}
+    assert subj == {f"<{BASE}orders/1>"}
+
+
+def test_construct_empty_template(store):
+    df = store.query("CONSTRUCT { } WHERE { ?o Demo:shipcountry ?c }")
+    assert df.count() == 0
+    assert "subj" in df.columns and "obj_lang" in df.columns
+
+
+def test_exists_with_optional_unbound(store):
+    # EXISTS over a maybe-unbound var: unbound outer solutions are compatible
+    # with any inner binding, so order 4 (no shippeddate) passes too
+    df = store.query(
+        """select ?o { ?o a Demo:Orders OPTIONAL { ?o Demo:shippeddate ?d }
+           FILTER EXISTS { ?x Demo:orderdate ?d } }"""
+    )
+    got = rows(df, "o")
+    # orders 1/2 shippeddates (07-16, 07-10) are NOT orderdates -> fail;
+    # order 3 shipped 07-08 which IS an orderdate; order 4 unbound -> passes
+    assert got == {(f"<{BASE}orders/3>",), (f"<{BASE}orders/4>",)}
+
+
+def test_exists_oracle_is_discriminating(store):
+    # round-3 verdict #6: the EXISTS witness must change the answer.  The
+    # same pattern without the FILTER returns strictly more rows, so an
+    # engine that ignored EXISTS entirely could not hash-match the oracle.
+    with_exists = store.query(
+        """select ?o { ?o Demo:shipcountry ?c
+           FILTER EXISTS { ?o Demo:shippeddate ?d } }"""
+    )
+    without = store.query("select ?o { ?o Demo:shipcountry ?c }")
+    n_with, n_without = with_exists.count(), without.count()
+    assert n_with == 3 and n_without == 4  # order 4 has NULL shippeddate
