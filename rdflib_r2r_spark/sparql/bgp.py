@@ -359,6 +359,26 @@ class BGPCompiler:
             return sa.col(ca) == sb.col(cb)
         return sa.col(ca).cast("string") == sb.col(cb).cast("string")
 
+    def _raw_null_guard(self, occ: Occurrence) -> Column | None:
+        """IS NOT NULL condition on the raw inputs of one term map, or None
+        when the term can never be NULL (constants)."""
+        tm = occ.tm
+        if tm.constant is not None:
+            return None
+        if tm.column is not None:
+            return occ.slot.col(tm.column).isNotNull()
+        if tm.template is not None:
+            cols = [p.column for p in parse_template(tm.template) if p.column]
+            if not cols:
+                return None
+            cond = occ.slot.col(cols[0]).isNotNull()
+            for c in cols[1:]:
+                cond = cond & occ.slot.col(c).isNotNull()
+            return cond
+        # exotic term maps: fall back to the rendered lexical
+        lex, _, _ = self._render(occ)
+        return lex.isNotNull()
+
     def _render(self, occ: Occurrence) -> tuple[Column, Column, Column]:
         return self.compiler.term_columns(
             occ.tm, occ.position, lambda c: occ.slot.col(c), occ.slot.types
@@ -529,10 +549,18 @@ class BGPCompiler:
                     self._num_col(occ, lex).alias(f"{name}__num"),
                 ]
             )
-        # R2RML NULL guard: every term of every matched triple is non-NULL
+        # R2RML NULL guard: every term of every matched triple is non-NULL.
+        # Guard on the RAW source columns, not the rendered lexical — a
+        # render is NULL iff some referenced column is NULL (cast/template
+        # concat/canonicalization all propagate NULL), and guarding on the
+        # raw input lets Catalyst PRUNE the rendered expression entirely when
+        # a query never reads the lexical (e.g. aggregates over the numeric
+        # shadow: the canonical-double render would otherwise be evaluated
+        # per row just to feed this filter).
         for (occ,) in null_guards:
-            lex, _, _ = self._render(occ)
-            guards.append(lex.isNotNull())
+            g = self._raw_null_guard(occ)
+            if g is not None:
+                guards.append(g)
         if not out_cols:
             out_cols = [F.lit(1).alias("__one")]
         out = df
