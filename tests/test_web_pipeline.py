@@ -133,3 +133,43 @@ def test_pipeline_pr_vs_reference(spark, docs_pd, tmp_path):
     pipe3 = KGPipeline(spark, SF_DIR, str(tmp_path / "kg"), dict_size=10)
     pipe3.run()
     assert not pipe3.results["alias_dict"].resumed
+
+
+def test_numeric_band_values_give_same_candidates(spark, docs):
+    """The bigint band encoding (band_rows<=2) must bucket identically to
+    the string concat it replaced: same candidate pair set."""
+    pages = pg.pages_from_documents(docs)
+    sigs = linking.signatures(pages).cache()
+    numeric = linking.band_df(sigs)  # default band_rows=2 -> bigint path
+    assert dict(numeric.dtypes)["band_val"] == "bigint"
+    wide = linking.band_df(sigs, num_hashes=8, band_rows=4)  # string path
+    assert dict(wide.dtypes)["band_val"] == "string"
+    got = {(r["a"], r["b"]) for r in linking.candidate_pairs(numeric).collect()}
+    # reconstruct the pairs the string encoding would produce at band_rows=2
+    arms = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws("|", F.col(f"mh{2*b}").cast("string"),
+                        F.col(f"mh{2*b+1}").cast("string")).alias("band_val"),
+        )
+        for b in range(4)
+    ]
+    legacy = (
+        sigs.select("key", F.explode(F.array(*arms)).alias("b"))
+        .select("key", "b.band_id", "b.band_val")
+        .filter(F.col("band_val").isNotNull() & (F.col("band_val") != ""))
+    )
+    want = {(r["a"], r["b"]) for r in linking.candidate_pairs(legacy).collect()}
+    assert got == want and len(got) > 0
+    sigs.unpersist()
+
+
+def test_fused_edges_match_staged(spark, docs):
+    """The single-exchange sig-carrying band join must produce the exact
+    edge set of the staged candidate_pairs + verified_edges flow."""
+    pages = pg.pages_from_documents(docs)
+    fused = {(r["a"], r["b"], round(r["sim_est"], 6))
+             for r in linking.near_dup_edges(pages, fused=True).collect()}
+    staged = {(r["a"], r["b"], round(r["sim_est"], 6))
+              for r in linking.near_dup_edges(pages, fused=False).collect()}
+    assert fused == staged and len(fused) > 0
