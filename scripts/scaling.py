@@ -63,6 +63,24 @@ def loadavg() -> list[float]:
     return [float(x) for x in Path("/proc/loadavg").read_text().split()[:3]]
 
 
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+QUIET_WAIT_S = int(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "2700"))
+
+
+def wait_for_quiet() -> list[float]:
+    """Block until the host's 1-minute loadavg drops below QUIET_LOAD (or
+    QUIET_WAIT_S elapses).  Co-tenant storms on this shared host move
+    measured walls by 2x+; gating every run on a quiet window is the
+    declared protocol, and the load at launch is recorded per run so the
+    gate itself is auditable."""
+    t0 = time.time()
+    while True:
+        la = loadavg()
+        if la[0] < QUIET_LOAD or time.time() - t0 > QUIET_WAIT_S:
+            return la
+        time.sleep(30)
+
+
 def run_probe(cpus: int) -> dict:
     return _subproc_json(
         [sys.executable, str(REPO / "scripts" / "probe.py")],
@@ -84,12 +102,18 @@ def main() -> None:
     bench: dict[int, dict] = {}
     probe: dict[int, dict] = {}
     for cpus in levels:
-        runs = [run_bench(cpus, replicate, sf_dir) for _ in range(repeats)]
+        runs = []
+        loads = []
+        for _ in range(repeats):
+            loads.append(wait_for_quiet())
+            runs.append(run_bench(cpus, replicate, sf_dir))
         bench[cpus] = min(runs, key=lambda x: x["value"])
-        probe[cpus] = run_probe(cpus)
+        bench[cpus]["launch_loadavg"] = loads
+        probe[cpus] = run_probe(cpus)  # short; rides the same window
         print(
             f"local[{cpus}]: pipeline {[x['value'] for x in runs]}s "
-            f"(best {bench[cpus]['value']}), probe {probe[cpus]['wall']}s"
+            f"(best {bench[cpus]['value']}), probe {probe[cpus]['wall']}s, "
+            f"launch load {[round(l[0], 1) for l in loads]}"
         )
 
     rows = []
@@ -123,7 +147,10 @@ def main() -> None:
 Job: fused KG pipeline at {sf_dir}, documents fanned out x{replicate}
 deterministically in-job; fresh subprocess JVM per run, best-of-{repeats};
 per-query timings skipped (SPARK_GRAFT_SKIP_QUERIES=1) so nothing else
-touches the session. Probe = scripts/probe.py `{probe_ver}` (definition
+touches the session. Every run is gated on a quiet co-tenant window
+(1-min loadavg < {QUIET_LOAD} at launch, recorded per run in
+scaling_results.json) — this sandbox shares its host and storms move
+walls 2x+. Probe = scripts/probe.py `{probe_ver}` (definition
 frozen in-repo; measures this host's attainable speedup for the pipeline's
 work shape: string split/lower + crc32 + numeric array transforms, no disk,
 no shuffle, no Python). One 32-core box shares one memory subsystem — the
