@@ -283,3 +283,68 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame,
             ).alias("jaccard"),
         )
     )
+
+
+# -- duplicate-cluster resolution ---------------------------------------------
+
+def dedup_clusters(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+                   num_hashes: int = linking.DEFAULT_NUM_HASHES,
+                   band_rows: int = linking.DEFAULT_BAND_ROWS,
+                   threshold: float = 0.5,
+                   cc_kwargs: dict | None = None) -> DataFrame:
+    """(doc_id, cluster_id, keep) for EVERY document: the operator a
+    training pipeline actually runs — near-dup pairs are only evidence,
+    the pipeline drops all but one doc per duplicate cluster.
+
+    Composition: MinHash-LSH verified edges -> iterative hash-min connected
+    components -> deterministic representative per cluster (min doc_id =
+    the component label itself, so no extra pass is needed).  Documents in
+    no edge are their own singleton cluster (left join + coalesce, no
+    second shuffle on the corpus beyond the join on doc_id).
+    """
+    from rdflib_r2r_spark.web.components import connected_components
+
+    edges = lsh_dup_pairs(docs, text_col, key_col, num_hashes, band_rows, threshold)
+    comp = connected_components(edges.select("a", "b"), src="a", dst="b",
+                                **(cc_kwargs or {}))
+    out = docs.select(F.col(key_col).alias("doc_id")).join(
+        comp.select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("_comp")),
+        "doc_id", "left",
+    )
+    cluster = F.coalesce(F.col("_comp"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("keep"),
+    )
+
+
+def dedup_clusters_sql(table: str = "documents", text_col: str = "text",
+                       key_col: str = "doc_id",
+                       num_hashes: int = linking.DEFAULT_NUM_HASHES,
+                       band_rows: int = linking.DEFAULT_BAND_ROWS,
+                       threshold: float = 0.5) -> str:
+    """DuckDB twin: recursive-CTE reachability min == hash-min CC label."""
+    pairs = lsh_dup_pairs_sql(table, text_col, key_col, num_hashes, band_rows, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+sym AS (
+  SELECT a AS s, b AS d FROM pairs
+  UNION
+  SELECT b AS s, a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT reach.node, sym.d FROM reach JOIN sym ON reach.r = sym.s
+),
+comp AS (
+  SELECT node, least(node, min(r)) AS component FROM reach GROUP BY node
+)
+SELECT t.{key_col} AS doc_id,
+       coalesce(comp.component, t.{key_col}) AS cluster_id,
+       t.{key_col} = coalesce(comp.component, t.{key_col}) AS keep
+FROM {table} t
+LEFT JOIN comp ON comp.node = t.{key_col}
+"""

@@ -148,11 +148,20 @@ def tables_from_sql(spark, create_sql: str) -> dict:
     # SQL CHAR(n) is right-padded to n (W3C TC0018a expects the padded
     # lexical); DuckDB normalizes CHAR(n) to VARCHAR and stores values
     # unpadded, so collect the declared widths from the DDL and rpad on lift.
-    char_cols: dict[str, int] = {}
-    for m in re.finditer(
-        r'"([^"]+)"\s+CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)', create_sql, re.I
+    # widths are keyed (table, column): a column name shared between tables
+    # must not inherit another table's pad width, and a non-CHAR column with
+    # a colliding name must not be rpad'ed at all
+    char_cols: dict[tuple[str, str], int] = {}
+    for block in re.finditer(
+        r'(?is)CREATE\s+TABLE\s+(?:"([^"]+)"|(\w+))(.*?)'
+        r'(?=CREATE\s+TABLE|INSERT\s+INTO|\Z)',
+        create_sql,
     ):
-        char_cols[m.group(1)] = int(m.group(2))
+        tname = block.group(1) or block.group(2)
+        for m in re.finditer(
+            r'"([^"]+)"\s+CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)', block.group(3), re.I
+        ):
+            char_cols[(tname, m.group(1))] = int(m.group(2))
     con = duckdb.connect()
     con.execute(create_sql)
     tables = {}
@@ -166,7 +175,8 @@ def tables_from_sql(spark, create_sql: str) -> dict:
             ).fetchall()
         ]
         select = ", ".join(
-            f'rpad("{c}", {char_cols[c]}, \' \') AS "{c}"' if c in char_cols
+            f'rpad("{c}", {char_cols[(name, c)]}, \' \') AS "{c}"'
+            if (name, c) in char_cols
             else f'"{c}"'
             for c in cols
         )

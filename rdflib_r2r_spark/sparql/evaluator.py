@@ -544,7 +544,35 @@ class Evaluator:
         if isinstance(p, A.BGP):
             return self.eval_bgp(p)
         if isinstance(p, A.Join):
-            return self._join(self.eval_pattern(p.left), self.eval_pattern(p.right))
+            # flatten the (left-deep, textual-order) inner-join tree and
+            # reorder greedily by shared variables: SPARQL inner join is
+            # associative+commutative, and the textual order can put two
+            # DISCONNECTED group patterns adjacent (BSBM bi5's first two
+            # sub-selects) — joined as written that is a CartesianProduct
+            # that a later pattern then filters; connected-first ordering
+            # turns it into plain hash joins
+            conjuncts: list = []
+
+            def flat(x):
+                if isinstance(x, A.Join):
+                    flat(x.left)
+                    flat(x.right)
+                else:
+                    conjuncts.append(x)
+
+            flat(p)
+            frames = [self.eval_pattern(c) for c in conjuncts]
+            acc = frames[0]
+            rest = frames[1:]
+            bound = set(acc.all_vars)
+            while rest:
+                i = next(
+                    (k for k, f in enumerate(rest) if f.all_vars & bound), 0
+                )
+                nxt = rest.pop(i)
+                acc = self._join(acc, nxt)
+                bound |= nxt.all_vars
+            return acc
         if isinstance(p, A.LeftJoin):
             return self._left_join(self.eval_pattern(p.left), self.eval_pattern(p.right), p.expr)
         if isinstance(p, A.Union):
@@ -913,16 +941,24 @@ class Evaluator:
                                       bf.term_vars, {**bf.native_vars, marker: "bool"},
                                       bf.maybe_null)
                 else:
-                    nullable = [v for v in shared if v in bf.maybe_null]
+                    # SPARQL compatibility: an UNBOUND shared var on EITHER
+                    # side is compatible with any binding of the other —
+                    # outer vars can be null after OPTIONAL/UNION upstream,
+                    # inner vars after OPTIONAL/UNION inside the EXISTS body
+                    nullable = [
+                        v for v in shared
+                        if v in bf.maybe_null or v in inner.maybe_null
+                    ]
                     idf = inner.df.select(
                         *[F.col(v).alias(v + "__exr") for v in shared]
                     ).distinct().withColumn(marker, F.lit(True))
                     cond = F.lit(True)
                     for v in shared:
                         eq = F.col(v) == F.col(v + "__exr")
-                        if v in nullable:
-                            # unbound outer var is compatible with any binding
+                        if v in bf.maybe_null:
                             eq = F.col(v).isNull() | eq
+                        if v in inner.maybe_null:
+                            eq = F.col(v + "__exr").isNull() | eq
                         cond = cond & eq
                     if not nullable:
                         joined = (

@@ -72,6 +72,10 @@ def make_node(lex: str | None, dt: str | None = None, lang: str | None = None):
         return float(lex)
     if dt == terms.XSD_BOOLEAN:
         return lex == "true"
+    if dt == terms.XSD_HEXBINARY:
+        # binary DB values round-trip through base-16 lexicals (reference
+        # r2r_store.py:130-134 encodes bytes as xsd:hexBinary)
+        return bytes.fromhex(lex)
     if dt == terms.XSD_DATE:
         return _dt.date.fromisoformat(lex)
     if dt == terms.XSD_DATETIME:

@@ -269,6 +269,12 @@ def fused_verified_edges(sigs: DataFrame,
                 F.col("b.band_val").alias("band_val"))
         .filter(F.col("band_val").isNotNull())
     )
+    if band_rows > 2:
+        # match band_df's string arm: concat_ws renders an all-NULL signature
+        # as '' — without this every empty-signature doc collides with every
+        # other in ALL bands (quadratic blowup; sim_est NULL keeps results
+        # correct but the self-join explodes on tokenless corpora)
+        banded = banded.filter(F.col("band_val") != "")
     l, r = banded.alias("l"), banded.alias("r")
     agree = F.zip_with(F.col("l.sig"), F.col("r.sig"),
                        lambda x, y: (x == y).cast("int"))

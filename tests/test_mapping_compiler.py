@@ -183,3 +183,33 @@ def test_graph_map(spark):
     comp = SparkMappingCompiler(spark, {"t": spark.createDataFrame(t)})
     got = comp.compile([tmap]).toPandas()
     assert list(got["graph"]) == ["<http://ex/g1>"]
+
+
+def test_binary_column_hexbinary_roundtrip(spark):
+    # reference r2r_store.py:130-134: binary DB values surface as base-16
+    # xsd:hexBinary literals; make_node decodes them back to bytes
+    import pyspark.sql.types as T
+
+    from rdflib_r2r_spark.sparql.store import SparkR2RStore, make_node
+
+    payload = bytes([0, 1, 0xAB, 0xFF])
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    df = spark.createDataFrame([(1, payload)], schema)
+    tmaps = direct_mapping({"BIN": df.schema}, primary_keys={"BIN": ["k"]})
+    store = SparkR2RStore(spark, {"BIN": df}, tmaps)
+    trips = [
+        (p, o) for s, p, o in store.triples()
+        if str(p).endswith("#blob")
+    ]
+    assert len(trips) == 1
+    assert trips[0][1] == payload  # decoded back to the original bytes
+    # and the lexical form is uppercase base-16 with the hexBinary datatype
+    row = [
+        r for r in store.dump().collect() if r["pred"].endswith("#blob>")
+    ][0]
+    assert row["obj"] == "0001ABFF".upper() == "0001ABFF"
+    assert row["obj_dt"] == terms.XSD_HEXBINARY
+    assert make_node(row["obj"], row["obj_dt"], None) == payload

@@ -1,0 +1,91 @@
+"""Physical-plan regression tests for the headline queries.
+
+BENCH.md's plan audit claims (no cartesians, broadcast dim joins, pushed-down
+point filters, partitioned windows) are encoded here as asserts on
+``df.explain("formatted")`` output so a future change that silently breaks a
+plan property fails CI instead of only showing up as a bench regression.
+All plans are BUILT (not executed) at sf0.001, so this suite is cheap.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def _plan(registry, spark, name) -> str:
+    return plan_of(registry[name](spark, SF_DIR))
+
+
+HEADLINERS = [
+    "q_tpch_q5", "bsbm_bi4", "bsbm_bi5", "kg_mentions", "dedup_lsh_pairs",
+    "kg_dump_geo", "q_tpch_q3",
+]
+
+
+@pytest.mark.parametrize("name", HEADLINERS)
+def test_no_cartesian_product(registry, spark, name):
+    plan = _plan(registry, spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q5", "bsbm_bi4", "kg_mentions"])
+def test_dim_joins_are_broadcast(registry, spark, name):
+    # every dimension-side join (nation/region; BSBM product types; the
+    # alias dictionary) must be a broadcast hash join — a shuffled
+    # sort-merge join on a dim table wastes a corpus-wide exchange at scale
+    plan = _plan(registry, spark, name)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast dim join"
+
+
+def test_subject_lookup_filter_pushdown(registry, spark):
+    # template inversion must reach the parquet scan as a pushed filter on
+    # the raw key column — this is the point-lookup fast path
+    plan = _plan(registry, spark, "kg_subject_lookup")
+    assert "PushedFilters: [" in plan
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), (
+        "kg_subject_lookup no longer pushes its key predicate into the scan"
+    )
+
+
+def test_session_window_is_partitioned(registry, spark):
+    # the sessionization window partitions by user — an unpartitioned
+    # window funnels the whole corpus through ONE task (Exchange
+    # SinglePartition) and cannot scale
+    plan = _plan(registry, spark, "q_window_session")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, (
+        "q_window_session plans an unpartitioned window (single-task funnel)"
+    )
+
+
+def test_tpch_q5_no_shuffle_before_broadcast_dims(registry, spark):
+    # plan-shape sanity: q5's big-side scans flow into broadcast joins; the
+    # only Exchanges should be the final aggregation's hash exchange(s)
+    plan = _plan(registry, spark, "q_tpch_q5")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 4, (
+        f"q_tpch_q5 now plans {n_exchanges} hash exchanges — a dim join "
+        "probably fell back to sort-merge"
+    )

@@ -483,6 +483,19 @@ def test_values_undef_is_wildcard(store):
     assert len(df.collect()) == 2 + 4
 
 
+def test_adjacent_values_intersect(store):
+    # two adjacent VALUES clauses join like any other patterns: the result
+    # binds the intersection of the two inline tables (the reference xfails
+    # this, test_sql_converter.py:642-649 — superset behavior here)
+    df = store.query(
+        """select ?o ?c { VALUES ?c { 'France' 'Brazil' }
+           VALUES ?c { 'France' 'Germany' }
+           ?o Demo:shipcountry ?c }"""
+    )
+    got = rows(df, "o", "c")
+    assert got == {(f"<{BASE}orders/1>", "France"), (f"<{BASE}orders/4>", "France")}
+
+
 def test_values_undef_two_cols(store):
     df = store.query(
         """select ?o ?c ?sci { ?o Demo:shipcountry ?c ; Demo:shipcity ?sci .
@@ -547,6 +560,18 @@ def test_exists_with_optional_unbound(store):
     # orders 1/2 shippeddates (07-16, 07-10) are NOT orderdates -> fail;
     # order 3 shipped 07-08 which IS an orderdate; order 4 unbound -> passes
     assert got == {(f"<{BASE}orders/3>",), (f"<{BASE}orders/4>",)}
+
+
+def test_exists_with_inner_optional_unbound(store):
+    # round-3 advice: inner.maybe_null must relax the correlation too — an
+    # OPTIONAL inside EXISTS can leave the shared var unbound on the INNER
+    # side, and that unbound inner solution is compatible with every outer
+    # binding, so EVERY order passes
+    df = store.query(
+        """select ?o { ?o a Demo:Orders; Demo:shippeddate ?d
+           FILTER EXISTS { ?x a Demo:Orders OPTIONAL { ?x Demo:nosuchprop ?d } } }"""
+    )
+    assert df.count() == 3  # all orders with a shippeddate (4 has NULL)
 
 
 def test_exists_oracle_is_discriminating(store):

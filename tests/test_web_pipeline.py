@@ -173,3 +173,32 @@ def test_fused_edges_match_staged(spark, docs):
     staged = {(r["a"], r["b"], round(r["sim_est"], 6))
               for r in linking.near_dup_edges(pages, fused=False).collect()}
     assert fused == staged and len(fused) > 0
+
+
+def test_native_extractor_matches_pandas(spark, docs):
+    """The JVM-native extractor is BYTE-IDENTICAL to the Arrow-UDF path on
+    the full corpus plus adversarial HTML — this equality is what lets the
+    pipeline run extraction with zero Python workers."""
+    from rdflib_r2r_spark.web.extract import extract_text_native, extract_text_pandas
+
+    pages = pg.pages_from_documents(docs)
+    messy = spark.createDataFrame(
+        [
+            (b"<html><head><style>a{}</style></head><body>x <i>y</i> &amp;&lt;</body></html>",),
+            (b"<body><article>first</article><article>second</article></body>",),
+            (b"no tags at all",),
+            (b"<script>only script</script>",),
+            (b"<body><SCRIPT a=b>nested <b>tag</b></SCRIPT>kept</body>",),
+            ("<body>unicode é中文</body>".encode("utf-8"),),
+        ],
+        "html binary",
+    ).select(F.col("html"))
+    for frame in (pages.select("html"), messy):
+        both = frame.select(
+            extract_text_native(F.col("html")).alias("nat"),
+            extract_text_pandas(F.col("html")).alias("pd"),
+        )
+        diff = both.filter(
+            ~F.col("nat").eqNullSafe(F.col("pd"))
+        ).count()
+        assert diff == 0
