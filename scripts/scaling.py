@@ -33,9 +33,19 @@ BEGIN = "<!-- scaling:begin -->"
 END = "<!-- scaling:end -->"
 
 
-def _subproc_json(args: list[str], env_extra: dict[str, str], timeout: int = 3600) -> dict:
+def _subproc_json(args: list[str], env_extra: dict[str, str], timeout: int = 3600,
+                  cpus: int | None = None) -> dict:
     env = dict(os.environ)
     env.update(env_extra)
+    if cpus is not None and os.path.exists("/usr/bin/taskset"):
+        # pin the WHOLE subprocess (JVM + Python) to exactly `cpus` cores:
+        # an unpinned local[8] JVM still runs GC/netty/shuffle threads on
+        # all 32 cores, silently inflating the low-core baseline and
+        # DEFLATING measured scaling efficiency.  A real N-core executor
+        # host bounds everything at N — taskset is the honest emulation.
+        # Applied identically to pipeline and probe runs so the
+        # normalization stays apples-to-apples.
+        args = ["taskset", "-c", f"0-{cpus - 1}"] + args
     out = subprocess.run(args, env=env, capture_output=True, text=True, timeout=timeout)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
@@ -53,6 +63,7 @@ def run_bench(cpus: int, replicate: int, sf_dir: str) -> dict:
             "SPARK_GRAFT_SKIP_QUERIES": "1",
             "SPARK_GRAFT_SKIP_CKPT": "1",
         },
+        cpus=cpus,
     )
 
 
@@ -85,18 +96,24 @@ def run_probe(cpus: int) -> dict:
     return _subproc_json(
         [sys.executable, str(REPO / "scripts" / "probe.py")],
         {"SPARK_GRAFT_CPUS": str(cpus)},
+        cpus=cpus,
     )
 
 
 def main() -> None:
     replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     pairs = [
         tuple(int(x) for x in p.split(":"))
         for p in os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4:16,8:32").split(",")
     ]
     levels = sorted({c for p in pairs for c in p})
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
     load_start = loadavg()
     bench: dict[int, dict] = {}
@@ -104,15 +121,32 @@ def main() -> None:
     for cpus in levels:
         runs = []
         loads = []
+        probes = []
         for _ in range(repeats):
-            loads.append(wait_for_quiet())
-            runs.append(run_bench(cpus, replicate, sf_dir))
-        bench[cpus] = min(runs, key=lambda x: x["value"])
+            # interleave pipeline + probe inside the SAME quiet window so a
+            # storm starting mid-sweep poisons both equally (normalization
+            # stays meaningful); each run records load at launch AND finish
+            la = wait_for_quiet()
+            r = run_bench(cpus, replicate, sf_dir)
+            r["load_at_finish"] = loadavg()
+            loads.append(la)
+            runs.append(r)
+            probes.append(run_probe(cpus))
+        walls = [x["value"] for x in runs]
+        med = median(walls)
+        bench[cpus] = min(runs, key=lambda x: abs(x["value"] - med))
+        bench[cpus]["value"] = round(med, 3)
+        bench[cpus]["all_walls"] = walls
+        bench[cpus]["spread"] = round(max(walls) - min(walls), 3)
         bench[cpus]["launch_loadavg"] = loads
-        probe[cpus] = run_probe(cpus)  # short; rides the same window
+        pwalls = [p["wall"] for p in probes]
+        probe[cpus] = probes[0]
+        probe[cpus]["wall"] = round(median(pwalls), 3)
+        probe[cpus]["all_walls"] = pwalls
         print(
-            f"local[{cpus}]: pipeline {[x['value'] for x in runs]}s "
-            f"(best {bench[cpus]['value']}), probe {probe[cpus]['wall']}s, "
+            f"local[{cpus}]: pipeline {walls}s "
+            f"(median {bench[cpus]['value']}, spread {bench[cpus]['spread']}), "
+            f"probe {pwalls} (median {probe[cpus]['wall']}), "
             f"launch load {[round(l[0], 1) for l in loads]}"
         )
 
@@ -145,7 +179,11 @@ def main() -> None:
 ## Scaling efficiency — two operating points, pinned ceiling probe
 
 Job: fused KG pipeline at {sf_dir}, documents fanned out x{replicate}
-deterministically in-job; fresh subprocess JVM per run, best-of-{repeats};
+deterministically in-job; fresh subprocess JVM per run, median-of-{repeats}
+(all walls + spread in scaling_results.json); every run (pipeline AND
+probe) is taskset-pinned to exactly its core budget, because an unpinned
+local[N] JVM runs GC/netty threads on all 32 cores and inflates the
+low-core baseline;
 per-query timings skipped (SPARK_GRAFT_SKIP_QUERIES=1) so nothing else
 touches the session. Every run is gated on a quiet co-tenant window
 (1-min loadavg < {QUIET_LOAD} at launch, recorded per run in
