@@ -990,6 +990,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mm_audio_meta"] = mm_audio_meta
 
+    def mm_frame_sample(spark, sf):
+        docs = multimodal.attach_fake_images(_t(spark, sf, "documents"))
+        return multimodal.frame_sample_stub(docs, every_n=10)
+
+    q["mm_frame_sample"] = mm_frame_sample
+
+    def dedup_embedding(spark, sf):
+        return similarity.embedding_near_dup_pairs(
+            # synthetic embeddings are near-orthogonal (max pairwise cosine
+            # ~0.4): 0.3 keeps the oracle row DISCRIMINATING (~20 pairs at
+            # sf0.01); real near-dup corpora run 0.9+
+            _t(spark, sf, "embeddings"), threshold=0.3
+        )
+
+    q["dedup_embedding"] = dedup_embedding
+
+    def q_rolling_fingerprint(spark, sf):
+        return textstats.rolling_fingerprint(_t(spark, sf, "documents"))
+
+    q["q_rolling_fingerprint"] = q_rolling_fingerprint
+
     return _driver_window_order(q)
 
 
@@ -1013,13 +1034,17 @@ DRIVER_WINDOW: list[str] = [
     "sparql_construct", "sparql_ask",
     "dedup_exact", "dedup_minhash_sig", "dedup_simhash", "dedup_clusters",
     "q_text_stats", "q_lang_id", "ann_cosine_topk",
+    # NEW round-4 operators (embedding-cosine near-dup, rolling-hash
+    # fingerprint, video frame-sample plumbing)
+    "dedup_embedding", "q_rolling_fingerprint", "mm_frame_sample",
     # RETAINED round-3 headliners: one witness per benchmark family so the
     # hard signal stays on the queries the judge grades against BASELINE.md
-    "kg_dump_geo", "kg_direct_mapping", "kg_subject_lookup", "kg_mentions",
-    "q_transitive_closure", "q_agg_suite", "q_construct",
+    # (kg_direct_mapping/q_agg_suite/q_tpch_q1 rotate out — r3-green)
+    "kg_dump_geo", "kg_subject_lookup", "kg_mentions",
+    "q_transitive_closure", "q_construct",
     "sparql_star_filter", "sparql_exists", "sparql_closure",
     "bsbm_bi4", "bsbm_bi5", "bsbm_explore1",
-    "q_tpch_q1", "q_tpch_q5",
+    "q_tpch_q5",
     "dedup_lsh_pairs", "dedup_ngram_jaccard", "ann_ivf_topk",
     "mm_image_meta", "mm_audio_meta",
 ]
@@ -1468,6 +1493,15 @@ SELECT count(*) > 0 AS found FROM (
     # real header decode (PNG IHDR / JPEG SOF / WAV RIFF) vs deterministic twins
     o["mm_image_meta"] = multimodal.image_meta_oracle_sql()
     o["mm_audio_meta"] = multimodal.audio_meta_oracle_sql()
+    # frame counts derive from the deterministic fake image lengths
+    o["mm_frame_sample"] = f"""
+SELECT doc_id, CAST(unnest(range(0,
+         CASE WHEN doc_id % 2 = 0 THEN {multimodal.PNG_LEN // 16}
+              ELSE {multimodal.JPEG_LEN // 16} END, 10)) AS INT) AS frame_idx
+FROM documents
+"""
+    o["dedup_embedding"] = similarity.embedding_near_dup_pairs_sql(threshold=0.3)
+    o["q_rolling_fingerprint"] = textstats.rolling_fingerprint_sql()
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 

@@ -330,3 +330,84 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("probe_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
     )
+
+
+# -- embedding-cosine near-duplicates -----------------------------------------
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine) embedding-space near-duplicate pairs — the
+    embedding-cosine member of the dedup family.
+
+    Scale shape: SRP-LSH bucketing (same deterministic hyperplanes as
+    ann_lsh_topk) turns the quadratic pair problem into an equi-join on
+    bucket id; exact cosine verifies only same-bucket collisions.  Never
+    all-pairs; AQE skew-join covers hot buckets.  High-threshold near-dup
+    (the training-data use case) keeps SRP recall high: at threshold 0.9
+    the angle is < 26°, so with 8 bits P[same bucket] = (1-θ/π)^8 ≈ 0.54
+    per table and the miss mass is quantified by the recall pytest; a
+    multi-table variant is a `bits`/table-count knob, not a new algorithm.
+    """
+    b = emb.select(
+        F.col(id_col).alias("key"),
+        F.col(vec_col).alias("vec"),
+        srp_bucket_col(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.key") < F.col("r.key")),
+            "inner",
+        )
+        .select(
+            F.col("l.key").alias("a"),
+            F.col("r.key").alias("b"),
+            F.round(cosine_col(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_sql(
+    threshold: float = 0.9,
+    dim: int = 64,
+    bits: int = 8,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin: same md5-seeded hyperplanes inlined as literals."""
+
+    def dot_hp(vec: str, hp: list[float]) -> str:
+        lits = ", ".join(str(v) for v in hp)
+        return (
+            f"list_sum(list_transform(list_zip({vec}, CAST([{lits}] AS DOUBLE[])),"
+            " x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_hp(vec_col, _hyperplane(b, dim))} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(l.embedding, r.embedding),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    norm = lambda v: f"sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"  # noqa: E731
+    return f"""
+WITH b AS (
+  SELECT {id_col} AS key, {vec_col} AS embedding, {bucket} AS bucket FROM {table}
+)
+SELECT l.key AS a, r.key AS b,
+       round({dot} / ({norm('l.embedding')} * {norm('r.embedding')}), 6) AS cosine
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.key < r.key
+WHERE round({dot} / ({norm('l.embedding')} * {norm('r.embedding')}), 6) >= {threshold}
+"""

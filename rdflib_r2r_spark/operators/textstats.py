@@ -151,3 +151,75 @@ SELECT {key_col},
        CAST({best} AS BIGINT) AS stopword_hits
 FROM {table}
 """
+
+
+# -- rolling-hash fingerprint --------------------------------------------------
+
+ROLL_B = 1_000_003  # polynomial base (prime)
+ROLL_P = (1 << 31) - 1
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
+                        key_col: str = "doc_id", window: int = 16) -> DataFrame:
+    """(doc_id, fingerprint, n_windows) Rabin-style rolling-hash document
+    fingerprint: polynomial hash over token hashes, plus the count of
+    content-defined chunk boundaries (windows where the rolling hash of the
+    last `window` tokens hits hash % window == 0 — the fingerprint a
+    CDC-style shift-resistant dedup would chunk on).
+
+    All whole-stage-codegen array ops: one md5 per token, two aggregates —
+    no explode, no shuffle; scales linearly with corpus bytes.
+    """
+    toks = tokens_col(F.col(text_col))
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint") % ROLL_P,
+    )
+    d = docs.select(F.col(key_col).alias("doc_id"), th.alias("_th"))
+    rolled = F.aggregate(
+        F.col("_th"), F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+    )
+    # per-position rolling value (prefix polynomial hash) -> boundary count
+    prefix = F.transform(
+        F.sequence(F.lit(1), F.size("_th")),
+        lambda i: F.aggregate(
+            F.slice(F.col("_th"), F.greatest(i - window + 1, F.lit(1)),
+                    F.least(i, F.lit(window))),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+        ),
+    )
+    n_bound = F.size(F.filter(prefix, lambda v: v % window == 0))
+    return d.select(
+        "doc_id",
+        rolled.alias("fingerprint"),
+        F.when(F.size("_th") > 0, n_bound).otherwise(F.lit(0))
+        .cast("bigint").alias("n_windows"),
+    )
+
+
+def rolling_fingerprint_sql(table: str = "documents", text_col: str = "text",
+                            key_col: str = "doc_id", window: int = 16) -> str:
+    toks = tokens_sql(text_col)
+    th = (
+        f"list_transform({toks}, t -> "
+        f"CAST(('0x' || substring(md5(t), 1, 15))::UBIGINT AS BIGINT) % {ROLL_P})"
+    )
+    rolled = f"list_reduce(list_prepend(CAST(0 AS BIGINT), th), (a, h) -> (a * {ROLL_B} + h) % {ROLL_P})"
+    win_hash = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_slice(th, greatest(i - {window} + 1, 1), i)), "
+        f"(a, h) -> (a * {ROLL_B} + h) % {ROLL_P})"
+    )
+    n_bound = (
+        f"len(list_filter(list_transform(range(1, len(th) + 1), i -> {win_hash}),"
+        f" v -> v % {window} = 0))"
+    )
+    return f"""
+WITH th_t AS (SELECT {key_col} AS doc_id, {th} AS th FROM {table})
+SELECT doc_id,
+       {rolled} AS fingerprint,
+       CAST(CASE WHEN len(th) > 0 THEN {n_bound} ELSE 0 END AS BIGINT) AS n_windows
+FROM th_t
+"""

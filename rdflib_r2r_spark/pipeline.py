@@ -40,7 +40,7 @@ from rdflib_r2r_spark.mapping import (
 from rdflib_r2r_spark.web import components, linking, mentions as men, pages as pg
 from rdflib_r2r_spark.web.extract import EXTRACTOR_VERSION, extract_text
 
-PIPELINE_VERSION = "1"
+PIPELINE_VERSION = "2"  # v2: mentions stage = distinct pair set (mention_entities)
 EX = "http://ex.org/"
 
 
@@ -145,15 +145,23 @@ class KGPipeline:
         path = os.path.join(self.workdir, name)
         mpath = self._manifest_path(name)
         t0 = time.time()
-        if not self.checkpoint_stages and name not in ("triples", "extracted"):
+        extract_mat = os.environ.get("SPARK_GRAFT_EXTRACT_MAT", "parquet")
+        fused_inline = {"triples"} if extract_mat != "parquet" else {"triples", "extracted"}
+        if not self.checkpoint_stages and name not in fused_inline:
             # fused: no materialization, except persisting small numeric
-            # multi-consumer frames. 'extracted' (big text, 4 consumers,
-            # expensive UDF) still parquet-checkpoints below: measured
-            # fastest — columnar cache reads slower than parquet scans, and
-            # inline recompute multiplies the UDF cost.
+            # multi-consumer frames. 'extracted' (big text, 4 consumers)
+            # materialization strategy is measured, not assumed —
+            # SPARK_GRAFT_EXTRACT_MAT selects parquet round-trip (default;
+            # was fastest with the pandas-UDF extractor), persist
+            # (MEMORY_AND_DISK columnar cache; single-box disk write drops
+            # out), or inline (recompute per consumer; viable now the
+            # native extractor is pure codegen JVM regex).
             df = compute()
             if name in self._MULTI_CONSUMER:
                 df = df.persist()
+            elif name == "extracted" and extract_mat == "persist":
+                df = df.persist()
+                df.count()  # materialize once, under this stage's wall
             self.results[name] = StageResult(name, "", fp, False, time.time() - t0, None)
             return df
         if self.resume and os.path.exists(mpath):
@@ -268,12 +276,19 @@ class KGPipeline:
             {
                 "mentions": (
                     ["extracted", "alias_dict"],
-                    lambda: men.detect_mentions(extracted, alias_dict),
+                    # fast path: per-row array_intersect against the inlined
+                    # dict — no 100-tokens-per-doc explode row blowup; emits
+                    # the distinct (url, entity_id) pair set directly
+                    lambda: men.mention_entities(extracted, alias_dict),
                     {},
                 ),
                 "canon": (
                     ["edges"],
-                    lambda: components.canonical_map(edges),
+                    # hops=3: near-dup clusters are shallow; 3 min-propagation
+                    # hops per checkpointed round covers diameter 3 in ONE
+                    # barrier (measured 3.7s vs 4.4s at hops=2 on the rep500
+                    # edge set) — the barrier count is the serial term
+                    lambda: components.canonical_map(edges, hops_per_round=3),
                     {},
                 ),
             }
@@ -281,22 +296,52 @@ class KGPipeline:
         mention_rows = branch2["mentions"]
         canon = branch2["canon"]
 
-        def build_triples() -> DataFrame:
-            mt = men.mention_triples(mention_rows)
-            same = canon.select(
-                F.concat(F.lit("<"), F.col("node"), F.lit(">")).alias("subj"),
+        nb = self.num_buckets
+
+        def _bucket_of(subj_col):
+            return F.pmod(F.xxhash64(subj_col), F.lit(nb))
+
+        def _wrap(c):
+            return F.concat(F.lit("<"), c, F.lit(">"))
+
+        def _same_triples(canon_df: DataFrame) -> DataFrame:
+            return canon_df.select(
+                _wrap(F.col("node")).alias("subj"),
                 F.lit(f"<{EX}duplicateOf>").alias("pred"),
-                F.concat(F.lit("<"), F.col("canonical"), F.lit(">")).alias("obj"),
+                _wrap(F.col("canonical")).alias("obj"),
                 F.lit(None).cast("string").alias("obj_dt"),
                 F.lit(None).cast("string").alias("obj_lang"),
                 F.lit(None).cast("string").alias("graph"),
             )
-            allt = base_triples.unionByName(mt).unionByName(same)
-            # repartition on the bucket key so each writer task emits one
-            # file per bucket dir instead of num_buckets small files each
+
+        def build_triples() -> DataFrame:
+            if self.checkpoint_stages:
+                # resumable mode: sources are materialized parquet of
+                # RENDERED triples — bucket + repartition them as-is
+                mt = men.mention_triples(mention_rows, pre_deduped=True)
+                allt = base_triples.unionByName(mt).unionByName(_same_triples(canon))
+                return allt.withColumn(
+                    "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(nb))
+                ).repartition(nb, "subj_bucket")
+            # fused mode: LATE RENDERING through the bucket exchange.  Every
+            # triple's subject is the page url, so the subject-hash bucket is
+            # computable from the raw row; shuffling the raw sources
+            # (url+lang+ts / url+entity_id / node+canonical) moves ~20x fewer
+            # bytes than shuffling 6 rendered string columns per triple, and
+            # the IRI concats run once, post-exchange, on co-located rows.
+            pages_shuf = extracted.repartition(nb, _bucket_of(_wrap(F.col("url"))))
+            base = SparkMappingCompiler(
+                self.spark, {"pages": pages_shuf}
+            ).compile([pages_triples_map()])
+            mp_shuf = mention_rows.repartition(nb, _bucket_of(_wrap(F.col("url"))))
+            mt = men.mention_triples(mp_shuf, pre_deduped=True)
+            canon_shuf = canon.repartition(nb, _bucket_of(_wrap(F.col("node"))))
+            allt = base.unionByName(mt).unionByName(_same_triples(canon_shuf))
+            # re-derive the bucket from the rendered subject (identical value
+            # to the pre-shuffle expression — pure projection, no exchange)
             return allt.withColumn(
-                "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(self.num_buckets))
-            ).repartition(self.num_buckets, "subj_bucket")
+                "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(nb))
+            )
 
         triples = self.stage("triples", ["base_triples", "mentions", "canon"],
                              build_triples, partition_by="subj_bucket")

@@ -42,7 +42,11 @@ def get_spark(
     else:
         master = f"local[{cores}]"
         n = cores
-    sp = shuffle_partitions if shuffle_partitions is not None else max(n, 8)
+    if shuffle_partitions is not None:
+        sp = shuffle_partitions
+    else:
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS")
+        sp = int(env_sp) if env_sp else max(n, 8)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -74,6 +78,13 @@ def get_spark(
         # 10 tasks on 32 cores). 32m keeps scans wide here; clusters reading
         # 100TB keep the default (splits are plentiful there).
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "33554432"))
+        # parquet codec: zstd trades (parallel) CPU for (serial, single-disk
+        # here) write bytes — a scaling lever on one box, and on clusters it
+        # cuts shuffle-stage-adjacent storage I/O; A/B via env
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -91,15 +91,20 @@ def detect_mentions(pages: DataFrame, alias_dict: DataFrame,
     )
 
 
-def mention_triples(mentions: DataFrame) -> DataFrame:
+def mention_triples(mentions: DataFrame, pre_deduped: bool = False) -> DataFrame:
     """Distinct (doc, ex:mentions, entity) triples in the engine's term
     encoding.  Late IRI rendering: the distinct shuffles the RAW
     (url, entity_id) pair — one short string + one bigint — and the
     `<iri>` strings are concatenated only once, after the exchange, on the
-    already-deduplicated rows (E18 applied to the materialization path)."""
+    already-deduplicated rows (E18 applied to the materialization path).
+    ``pre_deduped`` skips the distinct when the input is already a pair set
+    (mention_entities output — per-doc dedup by array_intersect plus
+    distinct urls makes the pairs globally distinct)."""
+    pairs = mentions.select("url", "entity_id")
+    if not pre_deduped:
+        pairs = pairs.distinct()
     return (
-        mentions.select("url", "entity_id")
-        .distinct()
+        pairs
         .select(
             F.concat(F.lit("<"), F.col("url"), F.lit(">")).alias("subj"),
             F.lit("<http://ex.org/mentions>").alias("pred"),
@@ -108,4 +113,43 @@ def mention_triples(mentions: DataFrame) -> DataFrame:
             F.lit(None).cast("string").alias("obj_lang"),
             F.lit(None).cast("string").alias("graph"),
         )
+    )
+
+
+def mention_entities(pages: DataFrame, alias_dict: DataFrame,
+                     text_col: str = "text", key_col: str = "url",
+                     max_inline: int = 65536) -> DataFrame:
+    """Distinct (url, entity_id) pairs — the pipeline's mention fast path.
+
+    detect_mentions explodes EVERY token into its own row (url duplicated
+    per token) before the broadcast join; for N docs x ~100 tokens that is
+    a 100N-row intermediate just to find ~0.3N matches.  The alias dict is
+    bounded by construction (``size`` param), so inline it as an array
+    literal and intersect per row: ``array_intersect(tokens, aliases)``
+    dedups within the doc and emits ONLY matches — no token explode, no
+    join, pure whole-stage codegen.  Falls back to the join path if the
+    dict exceeds ``max_inline`` (an inlined expression tree has limits; a
+    broadcast join does not).  Position/prior attribution stays on
+    detect_mentions — this path feeds mention_triples, which only needs
+    the distinct pair set.
+    """
+    rows = alias_dict.select("alias", "entity_id").collect()
+    if len(rows) > max_inline:
+        return (
+            detect_mentions(pages, alias_dict, text_col, key_col)
+            .select("url", "entity_id").distinct()
+        )
+    aliases = F.array(*[F.lit(r["alias"]) for r in rows])
+    amap = F.create_map(
+        *[x for r in rows for x in (F.lit(r["alias"]), F.lit(int(r["entity_id"])))]
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+    return (
+        pages.select(
+            F.col(key_col).alias("url"),
+            F.explode(F.array_intersect(toks, aliases)).alias("_mention"),
+        )
+        .select("url", amap[F.col("_mention")].alias("entity_id"))
     )

@@ -122,7 +122,8 @@ def main() -> None:
         runs = []
         loads = []
         probes = []
-        for _ in range(repeats):
+
+        def one_run():
             # interleave pipeline + probe inside the SAME quiet window so a
             # storm starting mid-sweep poisons both equally (normalization
             # stays meaningful); each run records load at launch AND finish
@@ -132,6 +133,30 @@ def main() -> None:
             loads.append(la)
             runs.append(r)
             probes.append(run_probe(cpus))
+
+        for _ in range(repeats):
+            one_run()
+        # storm recovery: the gate checks load at LAUNCH, but a co-tenant
+        # storm can start mid-run and blow a wall up 2x.  If the spread of
+        # the pipeline walls OR of the (30s, interleaved) probe walls
+        # exceeds 15%, take up to 3 extra gated runs — the median over all
+        # runs then sits in the clean cluster.  The probe spread is the
+        # sharper storm detector: its clean run-to-run variance is a few
+        # percent, so 15%+ means a dirty window even when the pipeline
+        # walls happen to agree.  All walls are recorded; none discarded.
+        def _dirty() -> bool:
+            for vals in ([x["value"] for x in runs], [p["wall"] for p in probes]):
+                vs = sorted(vals)
+                if (vs[-1] - vs[0]) / vs[len(vs) // 2] > 0.15:
+                    return True
+            return False
+
+        for _ in range(3):
+            if not _dirty():
+                break
+            print(f"local[{cpus}]: wall/probe spread > 15% of median — "
+                  "extra gated run")
+            one_run()
         walls = [x["value"] for x in runs]
         med = median(walls)
         bench[cpus] = min(runs, key=lambda x: abs(x["value"] - med))
