@@ -348,3 +348,90 @@ SELECT t.{key_col} AS doc_id,
 FROM {table} t
 LEFT JOIN comp ON comp.node = t.{key_col}
 """
+
+
+# -- segment-level (line/paragraph) exact dedup -------------------------------
+
+def segment_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id",
+                  seg_tokens: int = 8) -> DataFrame:
+    """Per-document segment-level exact dedup metrics — the CCNet-style
+    "drop paragraphs seen elsewhere in the corpus" pass, expressed over
+    non-overlapping ``seg_tokens``-token windows (the fixture corpus has no
+    newlines; a real corpus would split on '\\n\\n' instead — only the
+    segmenter expression changes, the distributed shape is identical).
+
+    Output: (doc_id, n_segs, n_dup_segs, dup_seg_frac, kept_fingerprint)
+    where a segment is a duplicate iff its exact text occurs more than once
+    ANYWHERE in the corpus, and kept_fingerprint is md5 of the surviving
+    segments in original order (empty-string md5 when nothing survives) —
+    the column a downstream exact-dedup pass would key on.
+
+    Scale: posexplode -> groupBy(segment) count -> join back -> groupBy(doc)
+    — the canonical 3-exchange distributed line-dedup. Partial aggregation
+    halves the first exchange; at 100 TB group on xxhash64(segment) instead
+    of the raw string to shrink exchange width, and boilerplate segments
+    ("subscribe to our newsletter") are exactly the skewed keys AQE's skew
+    join handles.  The count side never collects: corpus-sized both sides.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    segs = F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(seg_tokens)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)),
+    )).otherwise(F.array().cast("array<string>"))
+    e = docs.select(F.col(key_col).alias("doc_id"), F.posexplode_outer(segs))
+    counts = (
+        e.filter(F.col("col").isNotNull())
+        .groupBy("col").agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    j = e.join(counts, "col", "left")
+    kept = F.array_sort(
+        F.collect_list(F.when(F.col("_cnt") == 1, F.struct("pos", "col")))
+    )
+    n_segs = F.count("col")
+    n_dup = F.count(F.when(F.col("_cnt") > 1, F.lit(1)))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            n_segs.cast("bigint").alias("n_segs"),
+            n_dup.cast("bigint").alias("n_dup_segs"),
+            F.round(
+                n_dup / F.greatest(n_segs, F.lit(1)).cast("double"), 6
+            ).alias("dup_seg_frac"),
+            F.md5(
+                F.concat_ws(" ", F.transform(kept, lambda x: x["col"]))
+            ).alias("kept_fingerprint"),
+        )
+    )
+
+
+def segment_dedup_sql(table: str = "documents", text_col: str = "text",
+                      key_col: str = "doc_id", seg_tokens: int = 8) -> str:
+    toks = tokens_sql(text_col)
+    segs = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_transform(range(1, CAST(ceil(len({toks}) / {seg_tokens}.0) AS INT) + 1), "
+        f"i -> array_to_string(list_slice({toks}, (i - 1) * {seg_tokens} + 1, "
+        f"i * {seg_tokens}), ' ')) ELSE [] END"
+    )
+    return f"""
+WITH d AS (SELECT {key_col} AS doc_id, {segs} AS segs FROM {table}),
+e AS (SELECT doc_id, unnest(range(1, len(segs) + 1)) AS pos, unnest(segs) AS seg
+      FROM d),
+c AS (SELECT seg, count(*) AS cnt FROM e GROUP BY 1),
+a AS (
+  SELECT e.doc_id,
+         count(*) AS n_segs,
+         count(*) FILTER (c.cnt > 1) AS n_dup_segs,
+         md5(coalesce(string_agg(e.seg, ' ' ORDER BY e.pos)
+             FILTER (c.cnt = 1), '')) AS kept_fingerprint
+  FROM e JOIN c USING (seg) GROUP BY 1
+)
+SELECT d.doc_id AS {key_col},
+       CAST(coalesce(a.n_segs, 0) AS BIGINT) AS n_segs,
+       CAST(coalesce(a.n_dup_segs, 0) AS BIGINT) AS n_dup_segs,
+       round(CAST(coalesce(a.n_dup_segs, 0) AS DOUBLE)
+             / greatest(coalesce(a.n_segs, 0), 1), 6) AS dup_seg_frac,
+       coalesce(a.kept_fingerprint, md5('')) AS kept_fingerprint
+FROM d LEFT JOIN a USING (doc_id)
+"""

@@ -223,3 +223,359 @@ SELECT doc_id,
        CAST(CASE WHEN len(th) > 0 THEN {n_bound} ELSE 0 END AS BIGINT) AS n_windows
 FROM th_t
 """
+
+
+# -- repetition stats (Gopher-style repetition filters) -------------------------
+
+
+def _ngrams_col(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams; empty array when the doc has < n tokens.
+
+    The `when` guard matters: F.sequence(1, m) with m <= 0 would produce a
+    DESCENDING sequence (Spark fills step=-1 when start > stop), not an
+    empty array.
+    """
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     key_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Per-document repetition metrics for quality filtering (the
+    Gopher/MassiveText-style "repetition removal" rules, Rae et al. 2021
+    §A.1.1): documents dominated by repeated n-grams are boilerplate or
+    spam and get dropped from training mixes.
+
+    Output per doc: token counts, `dup_token_frac` (1 - distinct/total
+    tokens), `dup_ngram_frac` (fraction of n-gram OCCURRENCES beyond the
+    first of their group), `top_ngram_frac` (share of the single most
+    frequent n-gram), and `top_ngram` itself (ties broken lexicographically
+    smallest).
+
+    Scale: everything is per-row array math in whole-stage codegen — no
+    explode, no shuffle, linear scan of corpus bytes. Within a row the
+    group counting is O(g log g) via array_sort + run-length detection
+    (boundaries -> zip_with adjacent diffs), NOT the O(g^2)
+    count-each-distinct formulation, so a 10k-token doc costs ~10^5 ops
+    not 10^8. Intermediates are materialized as real columns between
+    selects because Spark does no CSE inside array lambdas.
+    """
+    docs = docs.select(key_col, tokens_col(F.col(text_col)).alias("_toks"))
+    d = docs.select(
+        key_col,
+        F.size("_toks").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("_ndist"),
+        F.array_sort(_ngrams_col(F.col("_toks"), n)).alias("_s"),
+    )
+    m = F.size("_s")
+    # run starts in the sorted gram array: position 1 plus every position
+    # whose gram differs from its predecessor
+    d = d.select(
+        key_col, "n_tokens", "_ndist", "_s", m.alias("_m"),
+        F.when(
+            m >= 1,
+            F.filter(
+                F.sequence(F.lit(1), m),
+                # when-guard, not `|`: boolean OR does not short-circuit, and
+                # element_at(_, 0) throws INVALID_ARRAY_INDEX at i == 1
+                lambda i: F.when(i == 1, F.lit(True)).otherwise(
+                    F.element_at(F.col("_s"), i) != F.element_at(F.col("_s"), i - 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")).alias("_b"),
+    )
+    # run lengths = next boundary - this boundary (sentinel m+1 at the end)
+    runs = F.zip_with(
+        F.col("_b"),
+        F.concat(
+            F.slice(F.col("_b"), 2, F.greatest(F.size("_b") - 1, F.lit(0))),
+            F.array(F.col("_m") + 1),
+        ),
+        lambda a, c: c - a,
+    )
+    d = d.select(key_col, "n_tokens", "_ndist", "_s", "_m", "_b", runs.alias("_runs"))
+    n_groups = F.size("_b")
+    max_run = F.array_max("_runs")
+    top_gram = F.element_at(
+        F.col("_s"),
+        F.element_at(F.col("_b"), F.array_position(F.col("_runs"), max_run).cast("int")),
+    )
+    mm = F.col("_m")
+    return d.select(
+        F.col(key_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") > 0,
+                   1.0 - F.col("_ndist") / F.col("n_tokens")).otherwise(0.0), 6
+        ).alias("dup_token_frac"),
+        mm.cast("bigint").alias("n_ngrams"),
+        F.round(
+            F.when(mm > 0, (mm - n_groups) / mm.cast("double")).otherwise(0.0), 6
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.when(mm > 0, max_run / mm.cast("double")).otherwise(0.0), 6
+        ).alias("top_ngram_frac"),
+        F.when(mm > 0, top_gram).alias("top_ngram"),
+    )
+
+
+def _ngrams_sql(toks: str, n: int) -> str:
+    if n == 1:
+        return toks
+    # DuckDB range(a, b) is half-open and empty when b <= a; list_slice is
+    # inclusive on both ends
+    return (
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n} - 1), ' '))"
+    )
+
+
+def repetition_stats_sql(table: str = "documents", text_col: str = "text",
+                         key_col: str = "doc_id", n: int = 2) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH d AS (
+  SELECT {key_col} AS doc_id,
+         len({toks}) AS n_tokens,
+         len(list_distinct({toks})) AS ndist,
+         {_ngrams_sql(toks, n)} AS grams
+  FROM {table}
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM e GROUP BY 1, 2),
+a AS (SELECT doc_id, sum(cnt) AS m, count(*) AS n_groups, max(cnt) AS maxc
+      FROM c GROUP BY 1),
+top AS (SELECT c.doc_id, min(c.gram) AS top_ngram
+        FROM c JOIN a USING (doc_id) WHERE c.cnt = a.maxc GROUP BY 1)
+SELECT d.doc_id AS {key_col},
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       round(CASE WHEN d.n_tokens > 0
+             THEN 1.0 - CAST(d.ndist AS DOUBLE) / d.n_tokens ELSE 0.0 END, 6)
+         AS dup_token_frac,
+       CAST(coalesce(a.m, 0) AS BIGINT) AS n_ngrams,
+       round(CASE WHEN coalesce(a.m, 0) > 0
+             THEN CAST(a.m - a.n_groups AS DOUBLE) / a.m ELSE 0.0 END, 6)
+         AS dup_ngram_frac,
+       round(CASE WHEN coalesce(a.m, 0) > 0
+             THEN CAST(a.maxc AS DOUBLE) / a.m ELSE 0.0 END, 6)
+         AS top_ngram_frac,
+       top.top_ngram AS top_ngram
+FROM d LEFT JOIN a USING (doc_id) LEFT JOIN top USING (doc_id)
+"""
+
+
+# -- benchmark decontamination ---------------------------------------------------
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Per-document n-gram overlap against a benchmark/eval set — the
+    test-set decontamination pass every serious training pipeline runs
+    (GPT-3 appendix C / PaLM-style 13-gram overlap; n is a parameter, 13
+    needs longer docs than the fixtures have).
+
+    Returns (doc_id, n_grams, n_hit, hit_ratio, contaminated) for EVERY
+    corpus doc: n_grams = distinct n-grams in the doc, n_hit = how many of
+    them appear anywhere in the benchmark set, contaminated = n_hit > 0.
+
+    Scale: the benchmark gram set is DISTINCT and tiny relative to the
+    corpus (eval suites, not training data) — broadcast it; the corpus
+    side is one explode + broadcast hash join + partial-agg groupBy on
+    doc_id, i.e. one shuffle of (doc_id, n_grams, hit) rows. At 100 TB
+    join on xxhash64(gram) instead of the raw string to shrink exchange
+    width (not done here so the oracle comparison stays exact on gram
+    strings).
+    """
+    from pyspark.sql.functions import broadcast
+
+    grams = F.array_distinct(_ngrams_col(tokens_col(F.col(text_col)), n))
+    bg = (
+        bench.select(F.explode(grams).alias("gram")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    e = docs.select(
+        F.col(key_col),
+        grams.alias("_g"),
+    ).select(
+        key_col,
+        F.size("_g").alias("n_grams"),
+        # explode_outer keeps docs with < n tokens (empty gram array) as a
+        # single null-gram row so they survive to the output with n_hit=0
+        F.explode_outer("_g").alias("gram"),
+    )
+    j = e.join(broadcast(bg), "gram", "left")
+    n_hit = F.coalesce(F.sum("_hit"), F.lit(0))
+    return (
+        j.groupBy(key_col, "n_grams")
+        .agg(n_hit.cast("bigint").alias("n_hit"))
+        .select(
+            key_col,
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            "n_hit",
+            F.round(
+                F.col("n_hit") / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"), 6
+            ).alias("hit_ratio"),
+            (F.col("n_hit") > 0).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(table: str = "documents", bench_where: str = "doc_id % 25 = 0",
+                      text_col: str = "text", key_col: str = "doc_id",
+                      n: int = 3) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH dg AS (
+  SELECT {key_col} AS doc_id, list_distinct({_ngrams_sql(toks, n)}) AS g
+  FROM {table}
+),
+bg AS (SELECT DISTINCT unnest(g) AS gram FROM dg WHERE {bench_where}),
+e AS (SELECT doc_id, unnest(g) AS gram FROM dg),
+h AS (SELECT e.doc_id, count(*) AS n_hit FROM e JOIN bg USING (gram) GROUP BY 1)
+SELECT dg.doc_id AS {key_col},
+       CAST(len(dg.g) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / greatest(len(dg.g), 1), 6)
+         AS hit_ratio,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM dg LEFT JOIN h USING (doc_id)
+"""
+
+
+# -- composite quality filter ---------------------------------------------------
+
+# (rule name, threshold) pairs are module constants so the Spark and DuckDB
+# twins cannot drift: each rule's predicate is written once per engine from
+# the same numbers.  Rule set follows the published Gopher (Rae et al. 2021
+# A.1.1) / C4 heuristics, scaled to the fixture corpus' doc lengths.
+QUALITY_RULES = {
+    "min_tokens": 30,       # too_short: n_tokens < 30
+    "max_tokens": 10_000,   # too_long: n_tokens > 10000
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "min_stopword_ratio": 0.03,
+    "max_dup_token_frac": 0.65,
+    "max_punct_ratio": 0.2,
+}
+
+
+def quality_filter(docs: DataFrame, text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Composite keep/drop decision for a training mix — the single operator
+    a curation pipeline actually gates on, composing the published
+    Gopher/C4-style rules: length bounds, mean-token-length bounds, minimum
+    stopword share (gibberish guard), maximum duplicate-token fraction
+    (repetition guard), maximum punctuation share (boilerplate guard).
+
+    Output: (doc_id, n_tokens, avg_token_len, stopword_ratio,
+    dup_token_frac, punct_ratio, reasons, keep) where `reasons` is the
+    comma-joined FIXED-ORDER list of violated rule names ('' when clean)
+    and keep = no rule fired.  Keeping the reason string per doc is
+    deliberate: at 100 TB the drop-rate per reason is the pipeline-health
+    metric (one groupBy(reasons).count() away), and a bare boolean cannot
+    explain a sudden corpus-quality regression.
+
+    Scale: per-row column math only (one token-array materialization, no
+    explode/shuffle/UDF); whole-stage codegen end to end; linear in corpus
+    bytes.
+    """
+    R = QUALITY_RULES
+    docs = docs.select(key_col, text_col, tokens_col(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    d = docs.select(
+        key_col,
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(n_tok, F.lit(1)), 6,
+        ).alias("avg_token_len"),
+        F.round(
+            _stop_count_col(toks, STOPWORDS["en"]).cast("double")
+            / F.greatest(n_tok, F.lit(1)), 6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(
+                n_tok > 0,
+                1.0 - F.size(F.array_distinct(toks)) / n_tok.cast("double"),
+            ).otherwise(0.0), 6,
+        ).alias("dup_token_frac"),
+        F.round(
+            (n_char - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")))
+            .cast("double") / F.greatest(n_char, F.lit(1)), 6,
+        ).alias("punct_ratio"),
+    )
+    rules = [  # fixed order: reasons strings are comparable across engines
+        ("too_short", F.col("n_tokens") < R["min_tokens"]),
+        ("too_long", F.col("n_tokens") > R["max_tokens"]),
+        ("token_len", (F.col("avg_token_len") < R["min_avg_token_len"])
+         | (F.col("avg_token_len") > R["max_avg_token_len"])),
+        ("low_stopword", F.col("stopword_ratio") < R["min_stopword_ratio"]),
+        ("repetitive", F.col("dup_token_frac") > R["max_dup_token_frac"]),
+        ("high_punct", F.col("punct_ratio") > R["max_punct_ratio"]),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return d.select(
+        key_col, "n_tokens", "avg_token_len", "stopword_ratio",
+        "dup_token_frac", "punct_ratio",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
+def quality_filter_sql(table: str = "documents", text_col: str = "text",
+                       key_col: str = "doc_id") -> str:
+    R = QUALITY_RULES
+    toks = tokens_sql(text_col)
+    n_tok = f"len({toks})"
+    n_char = f"length({text_col})"
+    alnum_sp = f"regexp_replace({text_col}, '[^a-zA-Z0-9 ]', '', 'g')"
+    stats = f"""
+  SELECT {key_col},
+         CAST({n_tok} AS BIGINT) AS n_tokens,
+         round(CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+               / greatest({n_tok}, 1), 6) AS avg_token_len,
+         round(CAST({_stop_count_sql(toks, STOPWORDS['en'])} AS DOUBLE)
+               / greatest({n_tok}, 1), 6) AS stopword_ratio,
+         round(CASE WHEN {n_tok} > 0
+               THEN 1.0 - CAST(len(list_distinct({toks})) AS DOUBLE) / {n_tok}
+               ELSE 0.0 END, 6) AS dup_token_frac,
+         round(CAST({n_char} - length({alnum_sp}) AS DOUBLE)
+               / greatest({n_char}, 1), 6) AS punct_ratio
+  FROM {table}"""
+    rules = [
+        ("too_short", f"n_tokens < {R['min_tokens']}"),
+        ("too_long", f"n_tokens > {R['max_tokens']}"),
+        ("token_len", f"(avg_token_len < {R['min_avg_token_len']}"
+         f" OR avg_token_len > {R['max_avg_token_len']})"),
+        ("low_stopword", f"stopword_ratio < {R['min_stopword_ratio']}"),
+        ("repetitive", f"dup_token_frac > {R['max_dup_token_frac']}"),
+        ("high_punct", f"punct_ratio > {R['max_punct_ratio']}"),
+    ]
+    parts = ", ".join(
+        f"CASE WHEN {cond} THEN '{name}' ELSE NULL END" for name, cond in rules
+    )
+    # coalesce: DuckDB's array_to_string on an EMPTY list is NULL, while
+    # Spark's concat_ws is '' — the clean-doc case must agree across engines
+    reasons = (
+        f"coalesce(array_to_string(list_filter([{parts}],"
+        f" x -> x IS NOT NULL), ','), '')"
+    )
+    return f"""
+WITH s AS ({stats})
+SELECT {key_col}, n_tokens, avg_token_len, stopword_ratio, dup_token_frac,
+       punct_ratio,
+       {reasons} AS reasons,
+       {reasons} = '' AS keep
+FROM s
+"""

@@ -48,6 +48,21 @@ class Inv:
     part: object
 
 
+@dataclass(frozen=True)
+class NegSet:
+    """Negated property set ``!(:p1|^:p2|...)`` — SPARQL 1.1 §9.1.
+
+    ``forward`` / ``inverse`` are the IRIs of the non-inverted / ``^``-inverted
+    members.  Matches (s,o) linked by ANY predicate not in ``forward``, plus
+    (s,o) with (o,p,s) for any p not in ``inverse`` when inverse members are
+    present.  Evaluated over the triple dump with a ``pred NOT IN`` filter:
+    each dump arm carries a constant predicate literal, so Catalyst folds the
+    filter per arm and prunes excluded arms' scans at plan time — the
+    runtime cost is only the arms that can match."""
+    forward: tuple = ()
+    inverse: tuple = ()
+
+
 def seq(*parts):
     return Seq(tuple(_lift(p) for p in parts))
 

@@ -136,6 +136,34 @@ def parse_nq(text: str) -> set[tuple]:
 
 # -- case execution ---------------------------------------------------------
 
+def char_widths(create_sql: str) -> dict[tuple[str, str], int]:
+    """(table, column) -> declared CHAR(n) width, scanned from DDL.
+
+    SQL CHAR(n) is right-padded to n (W3C TC0018a expects the padded
+    lexical); DuckDB normalizes CHAR(n) to VARCHAR and stores values
+    unpadded, so the declared widths must come from the DDL text.  Keyed
+    (table, column): a column name shared between tables must not inherit
+    another table's pad width, and a non-CHAR column with a colliding name
+    must not be rpad'ed at all.  The name capture skips optional
+    TEMP|TEMPORARY and IF NOT EXISTS, else 'CREATE TABLE IF NOT EXISTS t'
+    records table "IF" and t's CHAR columns silently lose their padding.
+    """
+    char_cols: dict[tuple[str, str], int] = {}
+    for block in re.finditer(
+        r'(?is)CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?TABLE\s+'
+        r'(?:IF\s+NOT\s+EXISTS\s+)?(?:"([^"]+)"|(\w+))(.*?)'
+        r'(?=CREATE\s+(?:(?:GLOBAL\s+|LOCAL\s+)?TEMP(?:ORARY)?\s+)?TABLE'
+        r'|INSERT\s+INTO|\Z)',
+        create_sql,
+    ):
+        tname = block.group(1) or block.group(2)
+        for m in re.finditer(
+            r'"([^"]+)"\s+CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)', block.group(3), re.I
+        ):
+            char_cols[(tname, m.group(1))] = int(m.group(2))
+    return char_cols
+
+
 def tables_from_sql(spark, create_sql: str) -> dict:
     """Execute the case's DDL+inserts in DuckDB and lift every table into a
     Spark DataFrame via Arrow (nullable ints stay ints, not floats)."""
@@ -145,23 +173,7 @@ def tables_from_sql(spark, create_sql: str) -> dict:
     # suite's x'ABCD' hex blob literals need an explicit from_hex
     create_sql = re.sub(r"(?i)\b(BLOB|VARBINARY|BINARY)\s*\(\s*\d+\s*\)", "BLOB", create_sql)
     create_sql = re.sub(r"\b[xX]'([0-9A-Fa-f]*)'", r"from_hex('\1')", create_sql)
-    # SQL CHAR(n) is right-padded to n (W3C TC0018a expects the padded
-    # lexical); DuckDB normalizes CHAR(n) to VARCHAR and stores values
-    # unpadded, so collect the declared widths from the DDL and rpad on lift.
-    # widths are keyed (table, column): a column name shared between tables
-    # must not inherit another table's pad width, and a non-CHAR column with
-    # a colliding name must not be rpad'ed at all
-    char_cols: dict[tuple[str, str], int] = {}
-    for block in re.finditer(
-        r'(?is)CREATE\s+TABLE\s+(?:"([^"]+)"|(\w+))(.*?)'
-        r'(?=CREATE\s+TABLE|INSERT\s+INTO|\Z)',
-        create_sql,
-    ):
-        tname = block.group(1) or block.group(2)
-        for m in re.finditer(
-            r'"([^"]+)"\s+CHAR(?:ACTER)?\s*\(\s*(\d+)\s*\)', block.group(3), re.I
-        ):
-            char_cols[(tname, m.group(1))] = int(m.group(2))
+    char_cols = char_widths(create_sql)
     con = duckdb.connect()
     con.execute(create_sql)
     tables = {}

@@ -616,6 +616,8 @@ class Evaluator:
                     special.append(("dump", s, pred, o))
                 elif isinstance(pred, (Closure, Maybe)):
                     special.append(("closure", s, pred, o))
+                elif isinstance(pred, pathmod.NegSet):
+                    special.append(("negset", s, pred, o))
                 elif isinstance(pred, pathmod.Pred):
                     plain.append((s, IRI(pred.iri), o))
                 else:
@@ -627,6 +629,8 @@ class Evaluator:
             for kind, s, pred, o in special:
                 if kind == "dump":
                     bfs.append(self._dump_pattern(s, pred, o, p.graph))
+                elif kind == "negset":
+                    bfs.append(self._negset_pattern(s, pred, o, p.graph))
                 else:
                     bfs.append(self._closure_pattern(s, pred, o, p.graph))
             bf = bfs[0]
@@ -682,6 +686,41 @@ class Evaluator:
             df = df.filter(F.col("graph").isNotNull())
         return BindingFrame(df.select(*cols) if cols else df.select(F.lit(1).alias("__one")),
                             term_vars)
+
+    def _negset_pattern(self, s, pred, o, graph) -> BindingFrame:
+        """Negated property set ``!(:p|^:q)`` — SPARQL 1.1 §18.2.2.3:
+        ``!(F|^I)`` is the (multiset) union of NPS over the forward members
+        and the inverse of NPS over the ``^`` members; an all-inverse set has
+        no forward branch.  Each branch is the variable-predicate dump
+        pattern with ``pred NOT IN excluded`` — every dump arm carries a
+        CONSTANT predicate literal, so Catalyst folds the filter per arm and
+        prunes excluded arms' scans at plan time (same mechanism as static
+        arm pruning for constant predicates).  Multiplicities are preserved
+        (NPS is a filtered triple pattern, not a distinct path closure)."""
+        specs = []
+        if pred.forward or not pred.inverse:
+            specs.append((pred.forward, s, o))
+        if pred.inverse:
+            specs.append((pred.inverse, o, s))
+        parts: list[BindingFrame] = []
+        for excluded, st, ot in specs:
+            pv = Var(self._fresh_var())
+            bf = self._dump_pattern(st, pv, ot, graph)
+            df = bf.df
+            if excluded:
+                df = df.filter(
+                    ~F.col(pv.name).isin([f"<{i}>" for i in excluded])
+                )
+            drop = {pv.name, f"{pv.name}__dt", f"{pv.name}__lang", f"{pv.name}__num"}
+            parts.append(BindingFrame(
+                df.select(*[c for c in df.columns if c not in drop]),
+                bf.term_vars - {pv.name},
+                maybe_null=bf.maybe_null - {pv.name},
+            ))
+        out = parts[0]
+        for other in parts[1:]:
+            out = self._union(out, other)
+        return out
 
     def _closure_pattern(self, s, pred, o, graph) -> BindingFrame:
         """Transitive-path pattern (+ / * / ?) — the closure support the

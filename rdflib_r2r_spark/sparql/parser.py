@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 
-from rdflib_r2r_spark.paths import Alt, Inv, Pred, Seq
+from rdflib_r2r_spark.paths import Alt, Inv, NegSet, Pred, Seq
 from rdflib_r2r_spark.sparql.ast_nodes import (
     AGGREGATES,
     AskQuery,
@@ -345,12 +345,49 @@ class Parser:
             return Pred(RDF_TYPE)
         if t.kind in ("IRIREF", "PNAME"):
             return Pred(self.parse_iri().value)
+        if self.at_op("!"):
+            self.next()
+            return self._path_negated_set()
         if self.at_op("("):
             self.next()
             p = self.parse_path()
             self.eat_op(")")
             return p
         raise SparqlSyntaxError(f"expected path, got {t.text!r}")
+
+    def _path_negated_set(self):
+        """PathNegatedPropertySet (SPARQL 1.1 [77]): a single
+        PathOneInPropertySet or a '('-grouped '|'-list of them."""
+        forward: list[str] = []
+        inverse: list[str] = []
+
+        def one():
+            target = forward
+            if self.at_op("^"):
+                self.next()
+                target = inverse
+            t = self.peek()
+            if t.kind == "KWORD" and t.text == "a":
+                self.next()
+                target.append(RDF_TYPE)
+            elif t.kind in ("IRIREF", "PNAME"):
+                target.append(self.parse_iri().value)
+            else:
+                raise SparqlSyntaxError(
+                    f"expected iri or ^iri in negated property set, got {t.text!r}"
+                )
+
+        if self.at_op("("):
+            self.next()
+            if not self.at_op(")"):
+                one()
+                while self.at_op("|"):
+                    self.next()
+                    one()
+            self.eat_op(")")
+        else:
+            one()
+        return NegSet(tuple(forward), tuple(inverse))
 
     # -- triples block ----------------------------------------------------------
 

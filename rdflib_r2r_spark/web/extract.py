@@ -30,7 +30,14 @@ _TAG_RE = r"(?s)<[^>]*>"
 
 
 def extract_text_pd(html: pd.Series) -> pd.Series:
-    s = html.map(lambda b: b.decode("utf-8") if isinstance(b, (bytes, bytearray)) else b)
+    # errors="replace" (invalid bytes -> U+FFFD) matches the JVM
+    # cast-binary-to-string semantics of the native path, so malformed
+    # UTF-8 produces identical bytes on both paths instead of crashing
+    # this one.
+    s = html.map(
+        lambda b: b.decode("utf-8", errors="replace")
+        if isinstance(b, (bytes, bytearray)) else b
+    )
     s = s.str.replace(_SCRIPT_RE, "", regex=True)
     art = s.str.replace(_ARTICLE_RE, r"\1", regex=True)
     body = s.str.replace(_BODY_RE, r"\1", regex=True)

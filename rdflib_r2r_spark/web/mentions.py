@@ -40,9 +40,17 @@ def build_alias_dict(
     length >= min_len, ties broken by token; entity_id = frequency rank,
     prior = corpus frequency share. (alias, entity_id, prior) — FIXTURES.md F5.
     """
-    tok = tokens_df(pages, text_col, key_col)
+    # dictionary building needs neither positions nor short tokens: filter
+    # INSIDE the token array (length >= min_len subsumes != "" for
+    # min_len >= 1) and plain-explode — the exploded row count drops by the
+    # short-token share (~40% of web tokens) and no pos int is carried.
+    # Same counts as the posexplode+post-filter formulation, cheaper rows.
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+        lambda t: (t != "") & (F.length(t) >= min_len),
+    )
     counts = (
-        tok.filter(F.length("token") >= min_len)
+        pages.select(F.explode(toks).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -98,8 +106,9 @@ def mention_triples(mentions: DataFrame, pre_deduped: bool = False) -> DataFrame
     `<iri>` strings are concatenated only once, after the exchange, on the
     already-deduplicated rows (E18 applied to the materialization path).
     ``pre_deduped`` skips the distinct when the input is already a pair set
-    (mention_entities output — per-doc dedup by array_intersect plus
-    distinct urls makes the pairs globally distinct)."""
+    (mention_entities output — per-doc dedup of ENTITY ids plus distinct
+    urls makes the pairs globally distinct; url is the page key, unique by
+    construction in pages_df/extract)."""
     pairs = mentions.select("url", "entity_id")
     if not pre_deduped:
         pairs = pairs.distinct()
@@ -118,22 +127,38 @@ def mention_triples(mentions: DataFrame, pre_deduped: bool = False) -> DataFrame
 
 def mention_entities(pages: DataFrame, alias_dict: DataFrame,
                      text_col: str = "text", key_col: str = "url",
-                     max_inline: int = 65536) -> DataFrame:
+                     max_inline: int = 8192) -> DataFrame:
     """Distinct (url, entity_id) pairs — the pipeline's mention fast path.
 
     detect_mentions explodes EVERY token into its own row (url duplicated
     per token) before the broadcast join; for N docs x ~100 tokens that is
     a 100N-row intermediate just to find ~0.3N matches.  The alias dict is
     bounded by construction (``size`` param), so inline it as an array
-    literal and intersect per row: ``array_intersect(tokens, aliases)``
-    dedups within the doc and emits ONLY matches — no token explode, no
-    join, pure whole-stage codegen.  Falls back to the join path if the
-    dict exceeds ``max_inline`` (an inlined expression tree has limits; a
-    broadcast join does not).  Position/prior attribution stays on
+    literal and map tokens to entities per row: ``array_intersect(tokens,
+    aliases)`` dedups matched ALIASES within the doc, then
+    ``array_distinct(transform(.., amap))`` dedups the mapped ENTITY ids —
+    so the pairs stay distinct even when several aliases link to one entity
+    (alias->entity need not be injective) — and emits ONLY matches: no
+    token explode, no join, no extra shuffle, pure whole-stage codegen.
+    Falls back to the join path if the dict exceeds ``max_inline``: an
+    inlined expression tree has limits — past a few thousand map entries
+    codegen falls back to interpreted mode and the serialized plan itself
+    becomes the cost, so the default stays well below that cliff — while a
+    broadcast join does not.  Position/prior attribution stays on
     detect_mentions — this path feeds mention_triples, which only needs
     the distinct pair set.
     """
     rows = alias_dict.select("alias", "entity_id").collect()
+    if not rows:
+        # zero-element F.array()/F.create_map() literals are void-typed and
+        # fail analysis inside array_intersect; an empty dict just means no
+        # mentions.
+        return (
+            pages.select(
+                F.col(key_col).alias("url"),
+                F.lit(None).cast("long").alias("entity_id"),
+            ).limit(0)
+        )
     if len(rows) > max_inline:
         return (
             detect_mentions(pages, alias_dict, text_col, key_col)
@@ -146,10 +171,13 @@ def mention_entities(pages: DataFrame, alias_dict: DataFrame,
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != ""
     )
+    ents = F.array_distinct(
+        F.transform(F.array_intersect(toks, aliases), lambda t: amap[t])
+    )
     return (
         pages.select(
             F.col(key_col).alias("url"),
-            F.explode(F.array_intersect(toks, aliases)).alias("_mention"),
+            F.explode(ents).alias("entity_id"),
         )
-        .select("url", amap[F.col("_mention")].alias("entity_id"))
+        .select("url", F.col("entity_id").cast("long").alias("entity_id"))
     )

@@ -69,3 +69,24 @@ def test_r2rml_conformance(spark, case):
 def test_r2rml_invalid_mappings_rejected(spark, case):
     with pytest.raises(Exception):
         rdb2rdf.run_case(spark, case)
+
+
+def test_char_widths_ddl_variants():
+    """The CHAR(n) width scan must key widths by the real table name even
+    under IF NOT EXISTS / TEMP prefixes (ADVICE r4: the plain-token capture
+    recorded 'IF'/'TEMP' and those tables lost their right-padding), must
+    not leak widths across tables, and must stop a block at the next CREATE
+    even when that CREATE is itself TEMP-prefixed."""
+    ddl = '''
+    CREATE TABLE IF NOT EXISTS "t1" ("c" CHAR(4), "v" VARCHAR(9));
+    INSERT INTO "t1" VALUES ('x', 'y');
+    CREATE TEMP TABLE t2 ("c" CHARACTER ( 7 ));
+    CREATE GLOBAL TEMPORARY TABLE "t3" ("d" CHAR(2));
+    CREATE TABLE plain ("e" char(5), "f" INTEGER);
+    '''
+    assert rdb2rdf.char_widths(ddl) == {
+        ("t1", "c"): 4,
+        ("t2", "c"): 7,
+        ("t3", "d"): 2,
+        ("plain", "e"): 5,
+    }

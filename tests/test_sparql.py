@@ -585,3 +585,62 @@ def test_exists_oracle_is_discriminating(store):
     without = store.query("select ?o { ?o Demo:shipcountry ?c }")
     n_with, n_without = with_exists.count(), without.count()
     assert n_with == 3 and n_without == 4  # order 4 has NULL shippeddate
+
+
+# -- negated property sets (SPARQL 1.1 9.1 — beyond the reference's
+# Seq/Alt/Inv coverage, sql_converter.py:208-229) ---------------------------
+
+
+def test_negated_property_set(store):
+    df = store.query(
+        "select ?v { <%sshippers/1> !(a|Demo:shipperid|Demo:shippers_of_orders) ?v }"
+        % BASE
+    )
+    assert rows(df, "v") == {("Speedy Express",)}
+
+
+def test_negated_property_set_bare(store):
+    # single-member form without parentheses
+    df = store.query(f"select ?v {{ <{BASE}orders/1> !Demo:orderid ?v }}")
+    # type + freight + shipcountry + shipcity + orderdate + shippeddate
+    assert df.count() == 6
+
+
+def test_negated_property_set_inverse(store):
+    # all-inverse set == ^!(a): subjects reachable backwards from orders/1
+    # via any predicate except rdf:type = the 6 object values of orders/1
+    df = store.query(f"select ?s {{ ?s !(^a) <{BASE}orders/1> }}")
+    assert df.count() == 6
+
+
+def test_negated_property_set_mixed(store):
+    # mixed = union of the forward branch (companyname + 2 ref-object
+    # triples) and the inverse branch (nothing points AT shippers/1)
+    df = store.query(
+        f"select ?v {{ <{BASE}shippers/1> !(a|Demo:shipperid|^a) ?v }}"
+    )
+    assert df.count() == 3
+
+
+# -- GROUP_CONCAT / SAMPLE aggregates ---------------------------------------
+
+
+def test_group_concat_and_sample(store):
+    df = store.query(
+        "select ?sh (GROUP_CONCAT(?c; SEPARATOR=\",\") AS ?cs) "
+        "(SAMPLE(?c) AS ?any) "
+        "{ ?sh Demo:shippers_of_orders/Demo:shipcountry ?c } GROUP BY ?sh"
+    )
+    got = rows(df, "sh", "cs", "any")
+    assert got == {
+        (f"<{BASE}shippers/1>", "France,Germany", "France"),
+        (f"<{BASE}shippers/2>", "Brazil,France", "Brazil"),
+    }
+
+
+def test_group_concat_distinct_global_group(store):
+    df = store.query(
+        "select (GROUP_CONCAT(DISTINCT ?c; SEPARATOR=\";\") AS ?cs) "
+        "{ ?o Demo:shipcountry ?c }"
+    )
+    assert rows(df, "cs") == {("Brazil;France;Germany",)}

@@ -78,6 +78,41 @@ def test_alias_dict_and_mentions_match_reference(spark, docs, docs_pd):
     assert got_m == want_m
 
 
+def test_mention_entities_non_injective_alias_dict(spark):
+    """ADVICE r4 (medium): with several aliases mapping to ONE entity — the
+    normal shape of a real alias dictionary — the inline fast path must
+    still emit globally distinct (url, entity_id) pairs.  Also pins the
+    fast path == join path equivalence off the happy path."""
+    pages = spark.createDataFrame(
+        [("u1", "acme corp and acme-inc together"), ("u2", "only acme here")],
+        "url string, text string",
+    )
+    adict = spark.createDataFrame(
+        # three aliases, two entities: acme-corp-inc all -> 7
+        [("acme", 7, 0.5), ("corp", 7, 0.3), ("only", 3, 0.2)],
+        "alias string, entity_id long, prior double",
+    )
+    fast = {(r["url"], r["entity_id"])
+            for r in men.mention_entities(pages, adict, text_col="text").collect()}
+    assert fast == {("u1", 7), ("u2", 7), ("u2", 3)}
+    # and no duplicate rows at all (the set comparison would hide them)
+    assert men.mention_entities(pages, adict).count() == 3
+    slow = {(r["url"], r["entity_id"])
+            for r in men.mention_entities(pages, adict, max_inline=0).collect()}
+    assert slow == fast
+
+
+def test_mention_entities_empty_alias_dict(spark):
+    """ADVICE r4: zero-element array/map literals are void-typed and fail
+    analysis inside array_intersect — an empty dict must short-circuit to
+    an empty pair frame with the right schema."""
+    pages = spark.createDataFrame([("u1", "some text")], "url string, text string")
+    empty = spark.createDataFrame([], "alias string, entity_id long, prior double")
+    out = men.mention_entities(pages, empty)
+    assert out.count() == 0
+    assert dict(out.dtypes) == {"url": "string", "entity_id": "bigint"}
+
+
 def test_minhash_signatures_match_python(spark, docs, docs_pd):
     sigs = linking.signatures(pg.pages_from_documents(docs)).collect()
     got = {r["key"]: [r[f"mh{j}"] for j in range(linking.DEFAULT_NUM_HASHES)] for r in sigs}
@@ -190,6 +225,10 @@ def test_native_extractor_matches_pandas(spark, docs):
             (b"<script>only script</script>",),
             (b"<body><SCRIPT a=b>nested <b>tag</b></SCRIPT>kept</body>",),
             ("<body>unicode é中文</body>".encode("utf-8"),),
+            # invalid UTF-8: 0xFF can begin no sequence, 0xC3 is truncated.
+            # JVM cast and pd decode(errors="replace") must both map each
+            # to U+FFFD, not crash the Python path.
+            (b"<body>bad \xff byte and truncated \xc3</body>",),
         ],
         "html binary",
     ).select(F.col("html"))
