@@ -1050,6 +1050,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_decontaminate"] = q_decontaminate
 
+    def q_quality_filter(spark, sf):
+        # composite Gopher/C4-style keep/drop gate with per-doc reason
+        # string — the single decision column a curation pipeline writes
+        return textstats.quality_filter(_t(spark, sf, "documents"))
+
+    q["q_quality_filter"] = q_quality_filter
+
+    def dedup_segments(spark, sf):
+        # CCNet-style segment-level exact dedup: a segment is dropped when
+        # its exact text occurs more than once anywhere in the corpus
+        return dedup.segment_dedup(_t(spark, sf, "documents"))
+
+    q["dedup_segments"] = dedup_segments
+
     return _driver_window_order(q)
 
 
@@ -1079,13 +1093,17 @@ DRIVER_WINDOW: list[str] = [
     # without breaking r4 ∪ r5 = all-registered coverage)
     "sparql_path_negated", "sparql_agg_gcsample",
     "q_repetition", "q_decontaminate",
+    # ... plus composite quality gate + segment-level exact dedup (also
+    # r5-new; they displace r4-green kg_subject_lookup and dedup_clusters,
+    # keeping r4 ∪ r5 = all-registered coverage intact)
+    "q_quality_filter", "dedup_segments",
     # RETAINED headliners: one witness per benchmark family so the hard
     # signal stays on the queries the judge grades against BASELINE.md
-    "kg_dump_geo", "kg_subject_lookup", "kg_mentions",
+    "kg_dump_geo", "kg_mentions",
     "sparql_star_filter", "sparql_closure",
     "bsbm_bi4", "bsbm_bi5", "bsbm_explore1",
     "q_tpch_q5",
-    "dedup_lsh_pairs", "dedup_clusters", "ann_ivf_topk",
+    "dedup_lsh_pairs", "ann_ivf_topk",
     "mm_image_meta",
 ]
 
@@ -1564,6 +1582,8 @@ FROM documents
     o["q_rolling_fingerprint"] = textstats.rolling_fingerprint_sql()
     o["q_repetition"] = textstats.repetition_stats_sql()
     o["q_decontaminate"] = textstats.decontaminate_sql()
+    o["q_quality_filter"] = textstats.quality_filter_sql()
+    o["dedup_segments"] = dedup.segment_dedup_sql()
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 
