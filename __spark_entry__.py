@@ -33,7 +33,7 @@ from rdflib_r2r_spark.mapping import (
     const_iri,
     direct_mapping,
 )
-from rdflib_r2r_spark.operators import dedup, multimodal, similarity, textstats
+from rdflib_r2r_spark.operators import dedup, multimodal, pii, similarity, textstats
 from rdflib_r2r_spark.paths import alt, eval_path, inv, seq, transitive_closure
 from rdflib_r2r_spark.rewrites import add_chain_maps
 from rdflib_r2r_spark.oracle import mapping_to_duckdb_sql
@@ -1064,6 +1064,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_segments"] = dedup_segments
 
+    def q_pii_scrub(spark, sf):
+        # PII count + redaction over deterministically-injected synthetic
+        # contact lines (the fixture corpus has none; docs with
+        # doc_id % 3 == 2 stay clean so the scrub must NOT fire on them)
+        docs = _t(spark, sf, "documents")
+        withpii = docs.select(
+            "doc_id",
+            pii.synthetic_pii_col(F.col("text"), F.col("doc_id")).alias("text"),
+        )
+        return pii.pii_stats(withpii)
+
+    q["q_pii_scrub"] = q_pii_scrub
+
     return _driver_window_order(q)
 
 
@@ -1096,11 +1109,11 @@ DRIVER_WINDOW: list[str] = [
     # ... plus composite quality gate + segment-level exact dedup (also
     # r5-new; they displace r4-green kg_subject_lookup and dedup_clusters,
     # keeping r4 ∪ r5 = all-registered coverage intact)
-    "q_quality_filter", "dedup_segments",
+    "q_quality_filter", "dedup_segments", "q_pii_scrub",
     # RETAINED headliners: one witness per benchmark family so the hard
     # signal stays on the queries the judge grades against BASELINE.md
     "kg_dump_geo", "kg_mentions",
-    "sparql_star_filter", "sparql_closure",
+    "sparql_closure",
     "bsbm_bi4", "bsbm_bi5", "bsbm_explore1",
     "q_tpch_q5",
     "dedup_lsh_pairs", "ann_ivf_topk",
@@ -1584,6 +1597,10 @@ FROM documents
     o["q_decontaminate"] = textstats.decontaminate_sql()
     o["q_quality_filter"] = textstats.quality_filter_sql()
     o["dedup_segments"] = dedup.segment_dedup_sql()
+    o["q_pii_scrub"] = (
+        f"WITH docs_pii AS (SELECT doc_id, {pii.synthetic_pii_sql()} AS text"
+        f" FROM documents)\n" + pii.pii_stats_sql(table="docs_pii")
+    )
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 
