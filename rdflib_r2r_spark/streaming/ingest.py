@@ -105,3 +105,119 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, query_name: str):
 
 def _has_agg(df: DataFrame) -> bool:
     return not df.isStreaming or df._jdf.queryExecution().analyzed().toString().startswith("Aggregate")
+
+
+# -- streaming exact dedup ---------------------------------------------------
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None, within: str | None = None) -> DataFrame:
+    """First-occurrence streaming exact dedup on the normalized-text
+    fingerprint (same md5-of-tokens key as the batch operator, so stream
+    and batch agree on what counts as a duplicate).
+
+    With ``ts_col``+``within`` the dedup state is WATERMARK-BOUNDED
+    (`dropDuplicatesWithinWatermark`): a duplicate arriving more than
+    ``within`` after the first copy is re-emitted, but state stays O(docs
+    per window) — the only shape that survives an unbounded 100-TB/day
+    stream.  Without a timestamp the plain `dropDuplicates` keeps ALL
+    fingerprints in state forever: exact across the whole stream, fine for
+    bounded backfills, documented footgun otherwise.
+    """
+    from rdflib_r2r_spark.operators.textstats import tokens_col
+
+    fp = F.md5(F.concat_ws(" ", tokens_col(F.col(text_col))))
+    with_fp = docs.withColumn("fingerprint", fp)
+    if ts_col and within:
+        return (
+            with_fp.withWatermark(ts_col, within)
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+        )
+    return with_fp.dropDuplicates(["fingerprint"])
+
+
+# -- stateful sessionization (applyInPandasWithState) ------------------------
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "0 seconds") -> DataFrame:
+    """Gap-based sessionization as a CUSTOM STATEFUL streaming operator
+    (`applyInPandasWithState`, Arrow-batched): per user, consecutive events
+    closer than ``gap`` form one session; a session closes either when a
+    later event in the same batch exceeds the gap (emitted immediately) or
+    when the event-time watermark passes session_end + gap (EventTimeTimeout
+    fires and flushes the open session).
+
+    The batch twin is q_window_session's `lag`-over-window sessionization —
+    same gap rule — so stream output is verifiable against a batch query.
+
+    Scale: state is ONE (start, last, n) row per active user, keyed-state
+    store partitioned by user_id; Arrow transfers per micro-batch; skewed
+    hot users cost one group each, not a shuffle storm.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = _duration_us(gap)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id],
+                 "session_start": [pd.Timestamp(start, unit="us")],
+                 "session_end": [pd.Timestamp(last, unit="us")],
+                 "n_events": [n]}
+            )
+            return
+        ts: list[int] = []
+        for pdf in pdfs:
+            ts.extend(int(v) for v in pdf["ts"].astype("int64") // 1000)
+        ts.sort()
+        if not ts:
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0], 0
+        closed = []
+        for t in ts:
+            if t - last > gap_us:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        # fire when the watermark passes the open session's gap deadline
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": [user_id] * len(closed),
+                 "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                 "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                 "n_events": [n for _, _, n in closed]}
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _SESSION_STATE_SCHEMA, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_us(text: str) -> int:
+    n, unit = text.split()
+    mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+            "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+    return int(n) * mult * 1_000_000

@@ -98,3 +98,87 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     assert len(merged) == len(got)
     assert (merged["n_events_s"] == merged["n_events_b"]).all()
     assert got["window_start"].nunique() >= 1
+
+
+def test_dedup_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "docs_dup")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # replicate a slice so the stream definitely contains duplicates
+    dup = docs.limit(20)
+    docs.unionByName(dup).repartition(4).write.parquet(src)
+
+    stream = ingest.stream_documents(spark, src, max_files_per_trigger=2)
+    q = ingest.run_available_now(
+        ingest.dedup_stream(stream), str(tmp_path / "ckpt_dd"), "dd_stream"
+    )
+    got = spark.sql("SELECT fingerprint FROM dd_stream")
+    batch = ingest.dedup_stream(spark.read.parquet(src)).select("fingerprint")
+    # first-occurrence semantics: same distinct fingerprint set, no dups
+    assert got.count() == got.distinct().count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_sessionize_stream_stateful(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, "click", 1.0, "{}")
+
+    src = str(tmp_path / "sess_in")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: user 1 has two sessions split by a 120-min gap — the first
+    # closes INTRA-batch; the second stays open. user 2 stays open.
+    spark.createDataFrame(
+        [ev(1, 1, 0), ev(2, 1, 10), ev(3, 1, 130), ev(4, 2, 5)], schema
+    ).coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "sess_out")
+
+    def run_once():
+        # parquet sink (not memory): supports restart from the checkpoint,
+        # which phase 2 needs to resume the keyed state
+        q = (
+            ingest.sessionize_stream(
+                ingest.stream_events(spark, src), gap="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.parquet(out).toPandas().sort_values("user_id")
+    # two rows: user 1's first session closes INTRA-batch (the 130-min event
+    # exceeds the gap), and user 2's session is flushed by EventTimeTimeout
+    # in the follow-up no-data batch (watermark = 130 min > 5 + 30 min
+    # deadline). user 1's second session (deadline 160 min) stays open.
+    assert len(got1) == 2
+    r1, r2 = got1.iloc[0], got1.iloc[1]
+    assert r1["user_id"] == 1 and r1["n_events"] == 2
+    assert r1["session_start"] == pd.Timestamp(base)
+    assert r1["session_end"] == pd.Timestamp(base + dt.timedelta(minutes=10))
+    assert r2["user_id"] == 2 and r2["n_events"] == 1
+
+    # batch 2 (same checkpoint): a far-future flush event advances the
+    # watermark past the remaining open session's gap deadline ->
+    # EventTimeTimeout fires and flushes user 1's second session
+    spark.createDataFrame(
+        [ev(99, 99, 60 * 24)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run_once()
+    got2 = spark.read.parquet(out).toPandas()
+    new = got2.merge(got1, how="outer", indicator=True)
+    new = new[new["_merge"] == "left_only"]
+    flushed = {(int(r["user_id"]), int(r["n_events"]))
+               for _, r in new.iterrows()}
+    assert (1, 1) in flushed
+    assert pd.Timestamp(base + dt.timedelta(minutes=130)) in set(
+        new["session_start"]
+    )
