@@ -154,6 +154,26 @@ def eval_path(triples: DataFrame, path) -> DataFrame:
                 .select(out["s"].alias("s"), F.col("_o").alias("o"))
             )
         return out
+    if isinstance(path, NegSet):
+        # SPARQL 1.1 18.2.2.3: union of the forward NPS (any pred not in
+        # `forward`) and the inverse of the NPS over the `^` members; the
+        # constant-pred NOT IN folds per dump arm at plan time
+        parts = []
+        if path.forward or not path.inverse:
+            df = triples
+            if path.forward:
+                df = df.filter(
+                    ~F.col("pred").isin([f"<{i}>" for i in path.forward])
+                )
+            parts.append(df.select(F.col("subj").alias("s"), F.col("obj").alias("o")))
+        if path.inverse:
+            df = triples
+            if path.inverse:
+                df = df.filter(
+                    ~F.col("pred").isin([f"<{i}>" for i in path.inverse])
+                )
+            parts.append(df.select(F.col("obj").alias("s"), F.col("subj").alias("o")))
+        return reduce(lambda a, b: a.unionByName(b), parts)
     raise NotImplementedError(f"unsupported path {path!r}")
 
 

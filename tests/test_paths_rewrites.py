@@ -248,3 +248,26 @@ def test_transitive_closure_doubling_nonconvergence_raises(spark):
     tc = {(r["src"], r["dst"]) for r in
           transitive_closure(edges, max_iter=6, strategy="doubling").collect()}
     assert (0, 9) in tc and len(tc) == 45
+
+
+def test_eval_negset_path(spark, geo_triples):
+    from rdflib_r2r_spark.paths import NegSet
+
+    all_rows = geo_triples.count()
+    # forward NPS: everything except inRegion edges
+    out = eval_path(geo_triples, NegSet(forward=(EX + "inRegion",)))
+    n_inregion = geo_triples.filter(
+        F.col("pred") == f"<{EX}inRegion>"
+    ).count()
+    assert out.count() == all_rows - n_inregion
+    # all-inverse NPS: !(^p) flips every non-p edge
+    inv_out = eval_path(geo_triples, NegSet(inverse=(EX + "inRegion",)))
+    assert inv_out.count() == all_rows - n_inregion
+    flipped = {(r["s"], r["o"]) for r in inv_out.collect()}
+    straight = {(r["o"], r["s"]) for r in out.collect()}
+    assert flipped == straight
+    # mixed = union of both branches (multiset)
+    both = eval_path(
+        geo_triples, NegSet(forward=(EX + "inRegion",), inverse=(EX + "inRegion",))
+    )
+    assert both.count() == 2 * (all_rows - n_inregion)

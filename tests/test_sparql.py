@@ -644,3 +644,19 @@ def test_group_concat_distinct_global_group(store):
         "{ ?o Demo:shipcountry ?c }"
     )
     assert rows(df, "cs") == {("Brazil;France;Germany",)}
+
+
+def test_negset_inside_sequence_resolves(store):
+    # !(...) composes with / : resolve_paths passes NegSet through as an
+    # atomic predicate and the evaluator's NPS pattern handles it — the
+    # fused form must equal the explicit two-triple formulation
+    fused = store.query(
+        f"select ?o {{ <{BASE}shippers/1> Demo:shippers_of_orders/!(a|Demo:orderid) ?o }}"
+    )
+    split = store.query(
+        f"select ?o {{ <{BASE}shippers/1> Demo:shippers_of_orders ?m . "
+        "?m !(a|Demo:orderid) ?o }"
+    )
+    got_f = sorted(r["o"] for r in fused.collect())
+    got_s = sorted(r["o"] for r in split.collect())
+    assert got_f == got_s and len(got_f) > 0
