@@ -1077,6 +1077,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_pii_scrub"] = q_pii_scrub
 
+    def q_mixture_sample(spark, sf):
+        # deterministic stratified mixture sampling: per-language rates via
+        # a pure md5-of-key threshold (stable under repartitioning; no RNG)
+        from rdflib_r2r_spark.operators import sampling
+
+        return sampling.mixture_sample(
+            _t(spark, sf, "documents"), MIXTURE_RATES, default_rate=0.05
+        )
+
+    q["q_mixture_sample"] = q_mixture_sample
+
     return _driver_window_order(q)
 
 
@@ -1085,6 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # plus every benchmark headliner (BSBM, TPC-H, dedup/ANN/multimodal) inside
 # that window; redundant second witnesses sit past position 50 and are
 # verified by scripts/check_contract.py instead.
+# mixture-sampling targets for q_mixture_sample (es exercises the default)
+MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "zh": 0.1}
+
 DRIVER_WINDOW: list[str] = [
     # ROUND-5 ROTATION (accumulating coverage, round-3 verdict #2): the 33
     # queries below sat outside the round-4 window (they were the round-4
@@ -1109,12 +1123,12 @@ DRIVER_WINDOW: list[str] = [
     # ... plus composite quality gate + segment-level exact dedup (also
     # r5-new; they displace r4-green kg_subject_lookup and dedup_clusters,
     # keeping r4 ∪ r5 = all-registered coverage intact)
-    "q_quality_filter", "dedup_segments", "q_pii_scrub",
+    "q_quality_filter", "dedup_segments", "q_pii_scrub", "q_mixture_sample",
     # RETAINED headliners: one witness per benchmark family so the hard
     # signal stays on the queries the judge grades against BASELINE.md
     "kg_dump_geo", "kg_mentions",
     "sparql_closure",
-    "bsbm_bi4", "bsbm_bi5", "bsbm_explore1",
+    "bsbm_bi4", "bsbm_bi5",
     "q_tpch_q5",
     "dedup_lsh_pairs", "ann_ivf_topk",
     "mm_image_meta",
@@ -1600,6 +1614,11 @@ FROM documents
     o["q_pii_scrub"] = (
         f"WITH docs_pii AS (SELECT doc_id, {pii.synthetic_pii_sql()} AS text"
         f" FROM documents)\n" + pii.pii_stats_sql(table="docs_pii")
+    )
+    from rdflib_r2r_spark.operators import sampling as _sampling
+
+    o["q_mixture_sample"] = _sampling.mixture_sample_sql(
+        MIXTURE_RATES, default_rate=0.05
     )
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
