@@ -1088,6 +1088,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_mixture_sample"] = q_mixture_sample
 
+    def q_chunk_docs(spark, sf):
+        # context-window chunking: sliding seq_len=32/stride=24 token
+        # windows, one row per training-sequence piece
+        return textstats.chunk_documents(_t(spark, sf, "documents"))
+
+    q["q_chunk_docs"] = q_chunk_docs
+
     return _driver_window_order(q)
 
 
@@ -1124,13 +1131,14 @@ DRIVER_WINDOW: list[str] = [
     # r5-new; they displace r4-green kg_subject_lookup and dedup_clusters,
     # keeping r4 ∪ r5 = all-registered coverage intact)
     "q_quality_filter", "dedup_segments", "q_pii_scrub", "q_mixture_sample",
+    "q_chunk_docs",
     # RETAINED headliners: one witness per benchmark family so the hard
     # signal stays on the queries the judge grades against BASELINE.md
     "kg_dump_geo", "kg_mentions",
     "sparql_closure",
     "bsbm_bi4", "bsbm_bi5",
     "q_tpch_q5",
-    "dedup_lsh_pairs", "ann_ivf_topk",
+    "dedup_lsh_pairs",
     "mm_image_meta",
 ]
 
@@ -1620,6 +1628,7 @@ FROM documents
     o["q_mixture_sample"] = _sampling.mixture_sample_sql(
         MIXTURE_RATES, default_rate=0.05
     )
+    o["q_chunk_docs"] = textstats.chunk_documents_sql()
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 

@@ -579,3 +579,84 @@ SELECT {key_col}, n_tokens, avg_token_len, stopword_ratio, dup_token_frac,
        {reasons} = '' AS keep
 FROM s
 """
+
+
+# -- context-window chunking -----------------------------------------------------
+
+
+def chunk_documents(docs: DataFrame, seq_len: int = 32, stride: int = 24,
+                    text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking into training-sequence pieces: token windows
+    of ``seq_len`` starting every ``stride`` tokens (overlap = seq_len -
+    stride preserves cross-boundary context, the standard pretraining
+    chunker shape).  Output one row per chunk: (doc_id, chunk_idx,
+    start_tok, n_tokens, chunk_hash) — chunk_hash stands in for the token
+    ids a tokenizer would emit, keeping the oracle exact.
+
+    Every doc with >= 1 token yields >= 1 chunk; the last window may be
+    short (never empty).  Per-row array math + one explode — no shuffle;
+    chunk rows are ~corpus_tokens/stride, linear in corpus size.
+    """
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= seq_len, F.least(n, F.lit(1))
+    ).otherwise(F.ceil((n - seq_len) / F.lit(stride)).cast("int") + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            (i - 1).alias("chunk_idx"),
+            ((i - 1) * stride + 1).alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, (i - 1) * stride + 1, seq_len)).alias("_c"),
+        ),
+    )
+    # when-guard: sequence(1, 0) DESCENDS in Spark (step -1), so a tokenless
+    # doc must yield an empty chunk array, not two phantom chunks
+    chunks = F.when(n > 0, chunks).otherwise(
+        F.array().cast("array<struct<chunk_idx:int,start_tok:int,_c:string>>")
+    )
+    e = docs.select(F.col(key_col), F.explode(chunks).alias("c"))
+    body = F.col("c._c")
+    return e.select(
+        key_col,
+        F.col("c.chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.start_tok").cast("bigint").alias("start_tok"),
+        (F.size(F.split(body, " ")) * F.when(body == "", 0).otherwise(1))
+        .cast("bigint").alias("n_tokens"),
+        F.md5(body).alias("chunk_hash"),
+    )
+
+
+def chunk_documents_sql(table: str = "documents", seq_len: int = 32,
+                        stride: int = 24, text_col: str = "text",
+                        key_col: str = "doc_id") -> str:
+    toks = tokens_sql(text_col)
+    n = f"len({toks})"
+    n_chunks = (
+        f"CASE WHEN {n} <= {seq_len} THEN least({n}, 1) "
+        f"ELSE CAST(ceil(CAST({n} - {seq_len} AS DOUBLE) / {stride}) AS INT) + 1 END"
+    )
+    return f"""
+WITH d AS (SELECT {key_col} AS doc_id, {toks} AS toks, {n_chunks} AS nc FROM {table}),
+e AS (
+  SELECT doc_id,
+         unnest(range(1, nc + 1)) AS i,
+         toks
+  FROM d
+),
+c AS (
+  SELECT doc_id,
+         i - 1 AS chunk_idx,
+         (i - 1) * {stride} + 1 AS start_tok,
+         array_to_string(list_slice(toks, (i - 1) * {stride} + 1,
+                                    (i - 1) * {stride} + {seq_len}), ' ') AS body
+  FROM e
+)
+SELECT doc_id AS {key_col},
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(CASE WHEN body = '' THEN 0
+            ELSE len(string_split(body, ' ')) END AS BIGINT) AS n_tokens,
+       md5(body) AS chunk_hash
+FROM c
+"""
