@@ -89,3 +89,34 @@ def test_tpch_q5_no_shuffle_before_broadcast_dims(registry, spark):
         f"q_tpch_q5 now plans {n_exchanges} hash exchanges — a dim join "
         "probably fell back to sort-merge"
     )
+
+
+NEW_OPS = ["q_quality_filter", "q_repetition", "q_pii_scrub",
+           "q_mixture_sample", "q_chunk_docs"]
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_per_row_ops_have_no_exchange(registry, spark, name):
+    # these curation operators are pure per-row column math (+ explode for
+    # chunking): ANY Exchange in the plan means a shuffle crept into a
+    # linear corpus scan
+    plan = _plan(registry, spark, name)
+    assert "Exchange" not in plan, f"{name} plans a shuffle"
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(registry, spark):
+    # the benchmark gram set is eval-suite-sized: it must broadcast; a
+    # sort-merge join here would shuffle the whole exploded corpus
+    plan = _plan(registry, spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_partial_aggregates(registry, spark):
+    # 3-exchange shape is expected (count segments / join back / per-doc
+    # agg) but every exchange must be preceded by a partial aggregate and
+    # there must be no cartesian
+    plan = _plan(registry, spark, "dedup_segments")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final on counts
