@@ -101,6 +101,9 @@ def main() -> None:
         "bsbm_bi1", "bsbm_bi2", "bsbm_bi3", "bsbm_bi4", "bsbm_bi5",
         "bsbm_bi7", "bsbm_explore1", "bsbm_explore5",
         "sparql_join_ref", "sparql_closure",
+        # round-5 curation operators (linear corpus scans; dedup_segments
+        # is the 3-exchange segment dedup)
+        "q_quality_filter", "q_repetition", "dedup_segments", "q_chunk_docs",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir))
 
