@@ -859,6 +859,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sparql_graph_quads"] = sparql_graph_quads
 
+    def sparql_from_named(spark, sf):
+        # FROM + FROM NAMED dataset clauses (SPARQL 1.1 13.2): FROM moves
+        # g/names into the default graph (without it the ex:name pattern
+        # matches nothing — every arm is graph-mapped); FROM NAMED
+        # restricts GRAPH ?g to g/keys (without it ?g ranges over both
+        # graphs and the row count doubles)
+        store = SparkR2RStore(
+            spark, {"nation": _t(spark, sf, "nation")}, _quads_tmaps(),
+            init_ns={"ex": EX},
+        )
+        return store.query(
+            f"SELECT ?s ?n ?g FROM <{EX}g/names> FROM NAMED <{EX}g/keys> "
+            "{ ?s ex:name ?n . GRAPH ?g { ?s ?p ?k } }"
+        )
+
+    q["sparql_from_named"] = sparql_from_named
+
     def sparql_closure(spark, sf):
         store = SparkR2RStore(
             spark, {"events": _t(spark, sf, "events")}, _edges_tmaps(),
@@ -1476,6 +1493,12 @@ FROM region
     o["sparql_graph_quads"] = f"""
 SELECT {nation_subj} AS s, '<{EX}nationkey>' AS p,
        CAST(n_nationkey AS STRING) AS o FROM nation
+"""
+
+    # FROM <g/names> puts the name triples in the default graph; GRAPH ?g
+    # restricted by FROM NAMED <g/keys> matches only the nationkey arm
+    o["sparql_from_named"] = f"""
+SELECT {nation_subj} AS s, n_name AS n, '<{EX}g/keys>' AS g FROM nation
 """
 
     o["sparql_closure"] = f"""

@@ -163,10 +163,21 @@ class SubSelect:
 # query forms
 # --------------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class Dataset:
+    """FROM / FROM NAMED dataset clauses (SPARQL 1.1 13.2): when present,
+    the default graph is EXACTLY the merge of `default` (store-default,
+    graph-less triples are excluded) and GRAPH patterns range over `named`
+    only."""
+    default: tuple = ()
+    named: tuple = ()
+
+
 @dataclass
 class SelectQuery:
     projection: list  # [Var | (expr, Var)] ; empty == '*'
     where: object
+    dataset: object | None = None  # Dataset (FROM / FROM NAMED) or None
     distinct: bool = False
     reduced: bool = False
     group_by: list = field(default_factory=list)  # [expr]
@@ -179,12 +190,14 @@ class SelectQuery:
 @dataclass
 class AskQuery:
     where: object
+    dataset: object | None = None
 
 
 @dataclass
 class ConstructQuery:
     template: list  # [(s, p, o)]
     where: object
+    dataset: object | None = None
     limit: int | None = None
     offset: int | None = None
 
@@ -193,3 +206,4 @@ class ConstructQuery:
 class DescribeQuery:
     terms: list  # [IRI | Var]; empty == all projected vars of where
     where: object | None = None
+    dataset: object | None = None

@@ -221,7 +221,7 @@ class BGPCompiler:
             return tm.constant == o.value
         return True
 
-    def candidates(self, s, p, o, g) -> list[Arm]:
+    def candidates(self, s, p, o, g, dataset=None) -> list[Arm]:
         out = []
         for arm in self.arms:
             if not self._pred_matches(arm, p):
@@ -230,15 +230,39 @@ class BGPCompiler:
                 continue
             if not self._object_static_ok(arm, o):
                 continue
-            # graph dispatch: GRAPH-scoped patterns only match arms with a
-            # graph map; default-graph patterns only match arms without one
-            if g is None and arm.graph_tm is not None:
-                continue
-            if g is not None and arm.graph_tm is None:
-                continue
-            if isinstance(g, IRI) and arm.graph_tm is not None and \
-                    arm.graph_tm.constant is not None and arm.graph_tm.constant != g.value:
-                continue
+            if dataset is None:
+                # graph dispatch: GRAPH-scoped patterns only match arms with
+                # a graph map; default-graph patterns only match arms
+                # without one
+                if g is None and arm.graph_tm is not None:
+                    continue
+                if g is not None and arm.graph_tm is None:
+                    continue
+                if isinstance(g, IRI) and arm.graph_tm is not None and \
+                        arm.graph_tm.constant is not None and arm.graph_tm.constant != g.value:
+                    continue
+            else:
+                # FROM / FROM NAMED (13.2): the default graph is EXACTLY the
+                # FROM merge (graph-less arms are excluded), GRAPH ranges
+                # over the FROM NAMED list only.  Dispatch is static, so the
+                # arm's graph map must be constant.
+                if arm.graph_tm is None:
+                    continue
+                const = arm.graph_tm.constant
+                if const is None:
+                    from rdflib_r2r_spark.sparql.parser import SparqlNotImplemented
+
+                    raise SparqlNotImplemented(
+                        "non-constant graph map under a dataset clause"
+                    )
+                if g is None:
+                    if const not in dataset.default:
+                        continue
+                else:
+                    if const not in dataset.named:
+                        continue
+                    if isinstance(g, IRI) and const != g.value:
+                        continue
             out.append(arm)
         return out
 
@@ -568,7 +592,8 @@ class BGPCompiler:
             out = out.filter(gcond)
         return out.select(*out_cols)
 
-    def compile(self, patterns: list, graph_term=None) -> tuple[DataFrame, set[str]]:
+    def compile(self, patterns: list, graph_term=None,
+                dataset=None) -> tuple[DataFrame, set[str]]:
         """All consistent assignments, UNION ALLed. Returns (df, var names)."""
         var_names: set[str] = set()
         for s, p, o in patterns:
@@ -580,7 +605,8 @@ class BGPCompiler:
         if isinstance(graph_term, Var):
             var_names.add(graph_term.name)
 
-        cand_lists = [self.candidates(s, p, o, graph_term) for (s, p, o) in patterns]
+        cand_lists = [self.candidates(s, p, o, graph_term, dataset)
+                      for (s, p, o) in patterns]
         n_assignments = 1
         for c in cand_lists:
             n_assignments *= max(len(c), 1)

@@ -193,10 +193,12 @@ class Evaluator:
         self._dump_provider = dump_provider  # () -> DataFrame (6-col dump)
         self._marker_n = 0
         self._fresh_n = 0
+        self.dataset = None  # FROM / FROM NAMED (SPARQL 1.1 13.2)
 
     # -- entry points ---------------------------------------------------------
 
     def eval_select(self, q: A.SelectQuery) -> DataFrame:
+        self.dataset = q.dataset
         bf = self._eval_select_bf(q)
         # final projection: plain columns only
         cols = []
@@ -205,14 +207,18 @@ class Evaluator:
         return bf.df.select(*cols)
 
     def eval_ask(self, q: A.AskQuery) -> DataFrame:
+        self.dataset = q.dataset
         bf = self.eval_pattern(q.where)
         return bf.df.limit(1).agg((F.count(F.lit(1)) > 0).alias("found"))
 
     def eval_describe(self, q: A.DescribeQuery) -> DataFrame:
         """DESCRIBE: all triples whose subject is a described node (simple
         subject-oriented description). Constants filter the dump directly;
-        variables come from the WHERE solutions via a semi-join."""
-        dump = self._dump_df()
+        variables come from the WHERE solutions via a semi-join.  Under a
+        dataset clause the description triples come from the restricted
+        default graph (13.2: the query's default graph)."""
+        self.dataset = q.dataset
+        dump = self._default_graph_df()
         consts = [t for t in q.terms if isinstance(t, IRI)]
         vars_ = [t for t in q.terms if isinstance(t, Var)]
         parts = []
@@ -241,6 +247,7 @@ class Evaluator:
         return out.distinct()
 
     def eval_construct(self, q: A.ConstructQuery) -> DataFrame:
+        self.dataset = q.dataset
         bf = self.eval_pattern(q.where)
         if not q.template:  # legal: CONSTRUCT { } WHERE { ... } -> empty graph
             return self._dump_df().limit(0)
@@ -624,7 +631,8 @@ class Evaluator:
                     raise SparqlNotImplemented(f"path {pred!r}")
             bfs: list[BindingFrame] = []
             if plain:
-                df, var_names = self.bgp.compile(plain, p.graph)
+                df, var_names = self.bgp.compile(plain, p.graph,
+                                                 dataset=self.dataset)
                 bfs.append(BindingFrame(df, var_names))
             for kind, s, pred, o in special:
                 if kind == "dump":
@@ -645,13 +653,36 @@ class Evaluator:
     def _dump_df(self) -> DataFrame:
         return self._dump_provider()
 
+    def _default_graph_df(self) -> DataFrame:
+        """The query's default graph as a triple DataFrame (honors FROM)."""
+        dump = self._dump_df()
+        ds = self.dataset
+        if ds is None:
+            return dump
+        if ds.default:
+            return dump.filter(F.col("graph").isin([f"<{g}>" for g in ds.default]))
+        return dump.filter(F.lit(False))
+
     def _dump_pattern(self, s, pred, o, graph) -> BindingFrame:
         """Variable-predicate pattern: scan the (virtual) dump."""
         df = self._dump_df()
+        ds = self.dataset
         if graph is None:
-            df = df.filter(F.col("graph").isNull())
+            if ds is None:
+                df = df.filter(F.col("graph").isNull())
+            elif ds.default:
+                # FROM: the default graph is EXACTLY the merge of the listed
+                # graphs; store-default (graph-less) triples are excluded
+                df = df.filter(
+                    F.col("graph").isin([f"<{g}>" for g in ds.default])
+                )
+            else:
+                df = df.filter(F.lit(False))
         elif isinstance(graph, IRI):
-            df = df.filter(F.col("graph") == f"<{graph.value}>")
+            if ds is not None and graph.value not in ds.named:
+                df = df.filter(F.lit(False))
+            else:
+                df = df.filter(F.col("graph") == f"<{graph.value}>")
         term_vars: set[str] = set()
         cols: list[Column] = []
 
@@ -683,7 +714,14 @@ class Evaluator:
                 F.lit(None).cast("string").alias(f"{graph.name}__lang"),
                 F.lit(None).cast("double").alias(f"{graph.name}__num"),
             ])
-            df = df.filter(F.col("graph").isNotNull())
+            if ds is None:
+                df = df.filter(F.col("graph").isNotNull())
+            elif ds.named:
+                df = df.filter(
+                    F.col("graph").isin([f"<{g}>" for g in ds.named])
+                )
+            else:
+                df = df.filter(F.lit(False))
         return BindingFrame(df.select(*cols) if cols else df.select(F.lit(1).alias("__one")),
                             term_vars)
 

@@ -710,13 +710,32 @@ class Parser:
                     break
             if not projection:
                 raise SparqlSyntaxError("SELECT needs projection or *")
+        dataset = self._parse_dataset()
         if self.at_kw("WHERE"):
             self.next()
         where = self.parse_group()
-        q = SelectQuery(projection=projection, where=where, distinct=distinct,
-                        reduced=reduced)
+        q = SelectQuery(projection=projection, where=where, dataset=dataset,
+                        distinct=distinct, reduced=reduced)
         self._parse_solution_modifiers(q)
         return q
+
+    def _parse_dataset(self):
+        """DatasetClause* (SPARQL 1.1 [13]): FROM iri | FROM NAMED iri.
+        Returns a Dataset or None when no clause is present."""
+        default: list = []
+        named: list = []
+        seen = False
+        while self.at_kw("FROM"):
+            seen = True
+            self.next()
+            if self.at_kw("NAMED"):
+                self.next()
+                named.append(self.parse_iri().value)
+            else:
+                default.append(self.parse_iri().value)
+        from rdflib_r2r_spark.sparql.ast_nodes import Dataset
+
+        return Dataset(tuple(default), tuple(named)) if seen else None
 
     def _parse_solution_modifiers(self, q) -> None:
         while True:
@@ -787,20 +806,37 @@ class Parser:
             q = self.parse_select_query()
         elif self.at_kw("ASK"):
             self.next()
+            dataset = self._parse_dataset()
             if self.at_kw("WHERE"):
                 self.next()
-            q = AskQuery(self.parse_group())
+            q = AskQuery(self.parse_group(), dataset=dataset)
         elif self.at_kw("CONSTRUCT"):
             self.next()
             template: list = []
-            self.eat_op("{")
-            if not self.at_op("}"):
-                self.parse_triples_block(template)
-            self.eat_op("}")
+            dataset = self._parse_dataset()
             if self.at_kw("WHERE"):
+                # CONSTRUCT WHERE { triples } shorthand (SPARQL 1.1
+                # 10.2.2): the template IS the pattern — triples only, no
+                # FILTER/OPTIONAL/..., which parse_triples_block enforces
                 self.next()
-            where = self.parse_group()
-            q = ConstructQuery(template=template, where=where)
+                self.eat_op("{")
+                if not self.at_op("}"):
+                    self.parse_triples_block(template)
+                self.eat_op("}")
+                from rdflib_r2r_spark.sparql.ast_nodes import BGP
+
+                where = BGP(list(template))
+            else:
+                self.eat_op("{")
+                if not self.at_op("}"):
+                    self.parse_triples_block(template)
+                self.eat_op("}")
+                if dataset is None:
+                    dataset = self._parse_dataset()
+                if self.at_kw("WHERE"):
+                    self.next()
+                where = self.parse_group()
+            q = ConstructQuery(template=template, where=where, dataset=dataset)
             mods = SelectQuery(projection=[], where=None)
             self._parse_solution_modifiers(mods)
             q.limit, q.offset = mods.limit, mods.offset
@@ -820,12 +856,13 @@ class Parser:
                         terms.append(self.parse_iri())
                     else:
                         break
+            dataset = self._parse_dataset()
             where = None
             if self.at_kw("WHERE") or self.at_op("{"):
                 if self.at_kw("WHERE"):
                     self.next()
                 where = self.parse_group()
-            q = DescribeQuery(terms=terms, where=where)
+            q = DescribeQuery(terms=terms, where=where, dataset=dataset)
         else:
             raise SparqlSyntaxError(f"expected query form, got {self.peek().text!r}")
         if self.peek().kind != "EOF":

@@ -660,3 +660,78 @@ def test_negset_inside_sequence_resolves(store):
     got_f = sorted(r["o"] for r in fused.collect())
     got_s = sorted(r["o"] for r in split.collect())
     assert got_f == got_s and len(got_f) > 0
+
+
+def test_construct_where_shorthand(store):
+    # SPARQL 1.1 10.2.2: CONSTRUCT WHERE { triples } == CONSTRUCT with the
+    # same triples as both template and pattern
+    short = store.query(
+        "construct where { ?s Demo:shipcountry ?c }"
+    )
+    full = store.query(
+        "construct { ?s Demo:shipcountry ?c } where { ?s Demo:shipcountry ?c }"
+    )
+    got_s = {tuple(r) for r in short.collect()}
+    got_f = {tuple(r) for r in full.collect()}
+    assert got_s == got_f and len(got_s) == 4
+
+
+# -- FROM / FROM NAMED dataset clauses (SPARQL 1.1 13.2) --------------------
+
+
+@pytest.fixture(scope="module")
+def quads_store(spark):
+    import __spark_entry__ as E
+
+    return SparkR2RStore(
+        spark,
+        {"nation": spark.read.parquet("/root/testdata/sf0.001/nation.parquet")},
+        E._quads_tmaps(),
+        init_ns={"ex": "http://ex.org/"},
+    )
+
+
+def test_from_moves_named_graph_into_default(quads_store):
+    # without FROM the default graph has no triples (every arm is
+    # graph-mapped); FROM <g/names> makes that graph the default
+    assert quads_store.query(
+        "select ?s ?n { ?s ex:name ?n }").count() == 0
+    assert quads_store.query(
+        "select ?s ?n from <http://ex.org/g/names> { ?s ex:name ?n }"
+    ).count() == 25
+
+
+def test_from_merges_graphs_dump_path(quads_store):
+    # variable predicate -> dump-scan path; two FROM clauses merge both
+    # named graphs into the default graph
+    df = quads_store.query(
+        "select ?s ?p ?o from <http://ex.org/g/names> "
+        "from <http://ex.org/g/keys> { ?s ?p ?o }"
+    )
+    assert df.count() == 50
+
+
+def test_from_named_restricts_graph_var(quads_store):
+    # GRAPH ?g ranges over the FROM NAMED list only
+    both = quads_store.query(
+        "select ?g ?s { graph ?g { ?s ?p ?o } }")
+    assert both.count() == 50
+    only = quads_store.query(
+        "select ?g ?s from named <http://ex.org/g/keys> "
+        "{ graph ?g { ?s ?p ?o } }")
+    rows = only.collect()
+    assert len(rows) == 25
+    assert {r["g"] for r in rows} == {"<http://ex.org/g/keys>"}
+
+
+def test_from_named_excludes_unlisted_graph_iri(quads_store):
+    # a GRAPH <iri> outside the FROM NAMED list matches nothing; and under
+    # any dataset clause the store-default graph is replaced (FROM absent
+    # -> empty default graph)
+    assert quads_store.query(
+        "select ?s from named <http://ex.org/g/keys> "
+        "{ graph <http://ex.org/g/names> { ?s ?p ?o } }"
+    ).count() == 0
+    assert quads_store.query(
+        "select ?s from named <http://ex.org/g/keys> { ?s ex:name ?o }"
+    ).count() == 0
