@@ -735,3 +735,57 @@ def test_from_named_excludes_unlisted_graph_iri(quads_store):
     assert quads_store.query(
         "select ?s from named <http://ex.org/g/keys> { ?s ex:name ?o }"
     ).count() == 0
+
+
+# -- parser robustness (hypothesis) -----------------------------------------
+
+
+def test_parser_fuzz_structured():
+    """Property: over a generated family of structurally-valid queries the
+    parser always returns an AST; over mutated (truncated/garbled) inputs
+    it raises ONLY SparqlSyntaxError / SparqlNotImplemented — never an
+    unrelated exception type (IndexError, KeyError, ...)."""
+    from hypothesis import given, settings, strategies as st
+
+    from rdflib_r2r_spark.sparql.parser import (
+        SparqlNotImplemented, SparqlSyntaxError, parse_query,
+    )
+
+    ns = {"ex": "http://ex.org/"}
+    vars_ = st.sampled_from(["?s", "?p", "?o", "?x"])
+    preds = st.sampled_from(["ex:name", "a", "?p", "ex:a/ex:b", "!(ex:a)",
+                             "ex:a+", "^ex:b"])
+    objs = st.sampled_from(["?o", '"lit"', "42", "ex:thing", '"x"@en'])
+
+    @st.composite
+    def query(draw):
+        s, p, o = draw(vars_), draw(preds), draw(objs)
+        parts = [f"{s} {p} {o}"]
+        if draw(st.booleans()):
+            parts.append(f"OPTIONAL {{ {s} ex:opt ?y }}")
+        if draw(st.booleans()):
+            parts.append(f"FILTER({draw(vars_)} != 3)")
+        if draw(st.booleans()):
+            parts.append('VALUES ?v { "a" "b" }')
+        body = " . ".join(parts)
+        head = draw(st.sampled_from(
+            ["SELECT *", "SELECT ?s", "ASK", "CONSTRUCT WHERE",
+             f"SELECT ?s FROM <{ns['ex']}g>"]))
+        if head == "CONSTRUCT WHERE":
+            return f"CONSTRUCT WHERE {{ {s} ex:name {draw(objs)} }}"
+        return f"{head} {{ {body} }}"
+
+    @given(query(), st.integers(min_value=0, max_value=120))
+    @settings(max_examples=300, deadline=None)
+    def check(q, cut):
+        try:
+            parse_query(q, init_ns=ns)
+        except (SparqlSyntaxError, SparqlNotImplemented):
+            pass
+        # truncation must also fail cleanly (or parse, for lucky cuts)
+        try:
+            parse_query(q[:cut], init_ns=ns)
+        except (SparqlSyntaxError, SparqlNotImplemented):
+            pass
+
+    check()
