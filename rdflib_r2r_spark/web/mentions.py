@@ -127,7 +127,7 @@ def mention_triples(mentions: DataFrame, pre_deduped: bool = False) -> DataFrame
 
 def mention_entities(pages: DataFrame, alias_dict: DataFrame,
                      text_col: str = "text", key_col: str = "url",
-                     max_inline: int = 8192) -> DataFrame:
+                     max_inline: int = 512) -> DataFrame:
     """Distinct (url, entity_id) pairs — the pipeline's mention fast path.
 
     detect_mentions explodes EVERY token into its own row (url duplicated
@@ -140,13 +140,16 @@ def mention_entities(pages: DataFrame, alias_dict: DataFrame,
     so the pairs stay distinct even when several aliases link to one entity
     (alias->entity need not be injective) — and emits ONLY matches: no
     token explode, no join, no extra shuffle, pure whole-stage codegen.
-    Falls back to the join path if the dict exceeds ``max_inline``: an
-    inlined expression tree has limits — past a few thousand map entries
-    codegen falls back to interpreted mode and the serialized plan itself
-    becomes the cost, so the default stays well below that cliff — while a
-    broadcast join does not.  Position/prior attribution stays on
-    detect_mentions — this path feeds mention_triples, which only needs
-    the distinct pair set.
+    Falls back to the join path if the dict exceeds ``max_inline``.
+    MEASURED (sf0.1 corpus, local[32], min-of-3 noop-sink walls): the
+    broadcast join is FLAT at ~0.4s from 128 to 32k entries while the
+    inline literal degrades linearly once the expression tree dominates —
+    dict=30: 0.18s inline / 0.38s join; 512: 0.34 / 0.42; 1024: 0.50 /
+    0.42 (crossover); 8192: 5.2 / 0.41; 32768: 23.3 / 0.42.  The default
+    sits at 512, comfortably on the winning side of the crossover;
+    real alias dictionaries (thousands of entries) take the join path.
+    Position/prior attribution stays on detect_mentions — this path feeds
+    mention_triples, which only needs the distinct pair set.
     """
     rows = alias_dict.select("alias", "entity_id").collect()
     if not rows:
