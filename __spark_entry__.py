@@ -1112,6 +1112,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_chunk_docs"] = q_chunk_docs
 
+    def q_url_dedup(spark, sf):
+        # canonical-URL dedup over deterministically-synthesized messy URLs
+        # (scheme/host case, :80, tracking params, param order, fragments,
+        # trailing slash — five raw variants collapse per resource)
+        from rdflib_r2r_spark.operators import urls
+
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", urls.synthetic_url_col(F.col("doc_id")).alias("url")
+        )
+        return urls.url_dedup(docs)
+
+    q["q_url_dedup"] = q_url_dedup
+
     return _driver_window_order(q)
 
 
@@ -1652,6 +1665,9 @@ FROM documents
         MIXTURE_RATES, default_rate=0.05
     )
     o["q_chunk_docs"] = textstats.chunk_documents_sql()
+    from rdflib_r2r_spark.operators import urls as _urls
+
+    o["q_url_dedup"] = _urls.url_dedup_sql(url_expr=_urls.synthetic_url_sql())
 
     from rdflib_r2r_spark import bsbm as bsbm_mod
 
