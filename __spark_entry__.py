@@ -1162,6 +1162,8 @@ DRIVER_WINDOW: list[str] = [
     # keeping r4 ∪ r5 = all-registered coverage intact)
     "q_quality_filter", "dedup_segments", "q_pii_scrub", "q_mixture_sample",
     "q_chunk_docs",
+    # (two further r5-new queries — sparql_from_named, q_url_dedup — sit
+    # past the 50-cap and are verified by scripts/check_contract.py)
     # RETAINED headliners: one witness per benchmark family so the hard
     # signal stays on the queries the judge grades against BASELINE.md
     "kg_dump_geo", "kg_mentions",
