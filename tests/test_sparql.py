@@ -789,3 +789,16 @@ def test_parser_fuzz_structured():
             pass
 
     check()
+
+
+def test_describe_honors_from_clause(quads_store):
+    # DESCRIBE pulls description triples from the query's default graph
+    # (13.2): FROM <g/names> restricts to the name triple only
+    all_triples = quads_store.query("describe <http://ex.org/nation/1>")
+    assert all_triples.count() == 2  # name + nationkey (no dataset clause)
+    only_names = quads_store.query(
+        "describe <http://ex.org/nation/1> from <http://ex.org/g/names>"
+    )
+    rows = only_names.collect()
+    assert len(rows) == 1
+    assert rows[0]["pred"] == "<http://ex.org/name>"
