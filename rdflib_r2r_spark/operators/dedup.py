@@ -366,12 +366,16 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_i
     segments in original order (empty-string md5 when nothing survives) —
     the column a downstream exact-dedup pass would key on.
 
-    Scale: posexplode -> groupBy(segment) count -> join back -> groupBy(doc)
-    — the canonical 3-exchange distributed line-dedup. Partial aggregation
-    halves the first exchange; at 100 TB group on xxhash64(segment) instead
-    of the raw string to shrink exchange width, and boilerplate segments
-    ("subscribe to our newsletter") are exactly the skewed keys AQE's skew
-    join handles.  The count side never collects: corpus-sized both sides.
+    Scale: posexplode -> groupBy(xxhash64(segment)) count -> join back ->
+    groupBy(doc) — the canonical 3-exchange distributed line-dedup, with
+    the corpus-wide count exchange keyed on the 8-byte hash so it carries
+    (hash, count) rows instead of raw segment text (CCNet does the same;
+    an xxhash64 collision is the accepted trade at 100 TB).  The raw
+    string stays only on the per-doc side, which needs it for the
+    kept_fingerprint.  Partial aggregation halves the first exchange, and
+    boilerplate segments ("subscribe to our newsletter") are exactly the
+    skewed keys AQE's skew join handles.  The count side never collects:
+    corpus-sized both sides.
     """
     toks = tokens_col(F.col(text_col))
     n = F.size(toks)
@@ -379,12 +383,18 @@ def segment_dedup(docs: DataFrame, text_col: str = "text", key_col: str = "doc_i
         F.sequence(F.lit(1), F.ceil(n / F.lit(seg_tokens)).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(toks, (i - 1) * seg_tokens + 1, seg_tokens)),
     )).otherwise(F.array().cast("array<string>"))
-    e = docs.select(F.col(key_col).alias("doc_id"), F.posexplode_outer(segs))
+    e = docs.select(
+        F.col(key_col).alias("doc_id"), F.posexplode_outer(segs)
+    ).withColumn(
+        # xxhash64(NULL) is a non-null seed constant — keep the empty-doc
+        # sentinel row's key NULL so the left join can never match it
+        "_h", F.when(F.col("col").isNotNull(), F.xxhash64("col"))
+    )
     counts = (
         e.filter(F.col("col").isNotNull())
-        .groupBy("col").agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_cnt"))
     )
-    j = e.join(counts, "col", "left")
+    j = e.join(counts, "_h", "left")
     kept = F.array_sort(
         F.collect_list(F.when(F.col("_cnt") == 1, F.struct("pos", "col")))
     )

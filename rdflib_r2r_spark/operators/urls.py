@@ -25,7 +25,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+# (=|$) so valueless tracking params ("?fbclid", "?utm_source") are also
+# stripped, not just the key=value form — same syntax in Java regex (Spark
+# rlike) and RE2 (DuckDB regexp_matches), so oracle parity holds
+TRACKING_RE = "^(utm_[^=&]*|fbclid|gclid)(=|$)"
 
 
 def url_dedup(docs: DataFrame, url_col: str = "url",

@@ -813,26 +813,37 @@ class Parser:
         elif self.at_kw("CONSTRUCT"):
             self.next()
             template: list = []
-            dataset = self._parse_dataset()
-            if self.at_kw("WHERE"):
+            if self.at_kw("FROM") or self.at_kw("WHERE"):
                 # CONSTRUCT WHERE { triples } shorthand (SPARQL 1.1
-                # 10.2.2): the template IS the pattern — triples only, no
-                # FILTER/OPTIONAL/..., which parse_triples_block enforces
-                self.next()
+                # 10.2.2): grammar is CONSTRUCT DatasetClause* WHERE
+                # TriplesTemplate — the template IS the pattern: triples
+                # only (parse_triples_block rejects FILTER/OPTIONAL/...),
+                # and predicates must be plain verbs (IRI or variable),
+                # never property paths
+                dataset = self._parse_dataset()
+                self.eat_kw("WHERE")
                 self.eat_op("{")
                 if not self.at_op("}"):
                     self.parse_triples_block(template)
                 self.eat_op("}")
+                for _s, p, _o in template:
+                    if not isinstance(p, (Pred, IRI, Var)):
+                        raise SparqlSyntaxError(
+                            "CONSTRUCT WHERE template forbids property "
+                            f"paths as predicates, got {p!r}"
+                        )
                 from rdflib_r2r_spark.sparql.ast_nodes import BGP
 
                 where = BGP(list(template))
             else:
+                # full form: CONSTRUCT ConstructTemplate DatasetClause*
+                # WHERE GroupGraphPattern — dataset clauses only AFTER
+                # the template (the grammar has no pre-template position)
                 self.eat_op("{")
                 if not self.at_op("}"):
                     self.parse_triples_block(template)
                 self.eat_op("}")
-                if dataset is None:
-                    dataset = self._parse_dataset()
+                dataset = self._parse_dataset()
                 if self.at_kw("WHERE"):
                     self.next()
                 where = self.parse_group()

@@ -192,8 +192,13 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
         for t in ts:
             if t - last > gap_us:
                 closed.append((start, last, n))
-                start, n = t, 0
-            last = t
+                start, last, n = t, t, 0
+            else:
+                # late-but-in-watermark event older than the stored session
+                # end must not regress it (a regressed end would let the
+                # next event split the session early, diverging from the
+                # batch lag-window twin) — only ever advance the end.
+                last = max(last, t)
             n += 1
         state.update((start, last, n))
         # fire when the watermark passes the open session's gap deadline

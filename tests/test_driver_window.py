@@ -1,0 +1,60 @@
+"""Driver-window rotation invariants (round-5 verdict ask #2): the
+correctness gate hashes only the first 50 queries() entries, so coverage
+accumulates across rounds by rotating the window — r5 ∪ r6 must equal the
+full registry, with the two never-driver-checked queries first."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _registry_names() -> list[str]:
+    import __spark_entry__ as entry
+
+    return list(entry.queries().keys())
+
+
+def test_window_is_exactly_the_gate_size():
+    import __spark_entry__ as entry
+
+    assert len(entry.DRIVER_WINDOW) == 50
+    assert len(set(entry.DRIVER_WINDOW)) == 50
+    names = _registry_names()
+    # the window IS the head of queries() insertion order
+    assert names[:50] == entry.DRIVER_WINDOW
+
+
+def test_union_r5_r6_covers_all_registered():
+    # green(CORRECTNESS_r05) ∪ DRIVER_WINDOW (= the prospective r6 checked
+    # set) must cover every registered query, including the round-6 new
+    # ones (which therefore must sit inside the window)
+    import __spark_entry__ as entry
+
+    r5 = json.loads((REPO / "CORRECTNESS_r05.json").read_text())
+    green5 = {k for k, v in r5.items()
+              if v.get("rows_match") and v.get("schema_match")
+              and v.get("hash_match") is not False}
+    names = set(_registry_names())
+    union = green5 | set(entry.DRIVER_WINDOW)
+    missing = names - union
+    assert not missing, f"queries never driver-checked across r5∪r6: {missing}"
+
+
+def test_never_checked_queries_lead_the_window():
+    import __spark_entry__ as entry
+
+    assert entry.DRIVER_WINDOW[:2] == ["sparql_from_named", "q_url_dedup"]
+
+
+def test_every_query_has_an_oracle_twin():
+    import __spark_entry__ as entry
+
+    q = set(_registry_names())
+    o = set(entry.oracle_sql().keys())
+    assert o <= q, f"oracles without queries: {o - q}"
+    missing = q - o
+    # genuinely non-SQL-expressible ops may omit the oracle; today none do
+    assert not missing, f"queries without oracle twins: {missing}"

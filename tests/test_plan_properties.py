@@ -120,3 +120,18 @@ def test_segment_dedup_partial_aggregates(registry, spark):
     plan = _plan(registry, spark, "dedup_segments")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final on counts
+
+
+def test_segment_dedup_count_exchange_carries_hash_not_string(registry, spark):
+    # the corpus-wide segment-count exchange must be keyed on
+    # xxhash64(segment) (8 bytes/row) — the raw segment string stays on
+    # the per-doc side only
+    plan = _plan(registry, spark, "dedup_segments")
+    assert "xxhash64" in plan
+    # every hashpartitioning over the count side keys on _h; no exchange
+    # partitions on the raw segment column ("col")
+    import re as _re
+
+    keys = _re.findall(r"hashpartitioning\(([^)#]*)#", plan)
+    assert any(k.strip() == "_h" for k in keys), keys
+    assert not any(k.strip() == "col" for k in keys), keys

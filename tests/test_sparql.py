@@ -676,6 +676,42 @@ def test_construct_where_shorthand(store):
     assert got_s == got_f and len(got_s) == 4
 
 
+def test_construct_where_rejects_path_template():
+    # SPARQL 1.1 10.2.2: the shorthand template is a TriplesTemplate —
+    # property paths are not allowed as predicates (they would fail
+    # obscurely at eval time otherwise)
+    from rdflib_r2r_spark.sparql.parser import SparqlSyntaxError, parse_query as _pq
+
+    for q in [
+        "PREFIX ex: <http://e/> CONSTRUCT WHERE { ?s ex:a/ex:b ?o }",
+        "PREFIX ex: <http://e/> CONSTRUCT WHERE { ?s ex:a|ex:b ?o }",
+        "PREFIX ex: <http://e/> CONSTRUCT WHERE { ?s ^ex:a ?o }",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            _pq(q)
+    # plain IRI and variable predicates stay legal
+    _pq("PREFIX ex: <http://e/> CONSTRUCT WHERE { ?s ex:a ?o }")
+    _pq("CONSTRUCT WHERE { ?s ?p ?o }")
+
+
+def test_construct_full_form_dataset_position():
+    # grammar: CONSTRUCT ConstructTemplate DatasetClause* WHERE ... — a
+    # dataset clause BEFORE the template is a syntax error; after, legal
+    from rdflib_r2r_spark.sparql.ast_nodes import ConstructQuery
+    from rdflib_r2r_spark.sparql.parser import SparqlSyntaxError, parse_query as _pq
+
+    q = _pq(
+        "PREFIX ex: <http://e/> CONSTRUCT { ?s ex:a ?o } FROM ex:g "
+        "WHERE { ?s ex:a ?o }"
+    )
+    assert isinstance(q, ConstructQuery) and q.dataset is not None
+    with pytest.raises(SparqlSyntaxError):
+        _pq(
+            "PREFIX ex: <http://e/> CONSTRUCT FROM ex:g { ?s ex:a ?o } "
+            "WHERE { ?s ex:a ?o }"
+        )
+
+
 # -- FROM / FROM NAMED dataset clauses (SPARQL 1.1 13.2) --------------------
 
 

@@ -182,3 +182,58 @@ def test_sessionize_stream_stateful(spark, tmp_path):
     assert pd.Timestamp(base + dt.timedelta(minutes=130)) in set(
         new["session_start"]
     )
+
+
+def test_sessionize_late_event_does_not_regress_session_end(spark, tmp_path):
+    # A late-but-within-watermark event older than the stored session end
+    # must not pull the end backwards: with end=20min and gap=30min, a late
+    # event at 5min followed by one at 45min still belongs to ONE session
+    # (45-20=25 <= gap). A regressed end (20 -> 5) would wrongly split it.
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, "click", 1.0, "{}")
+
+    src = str(tmp_path / "late_in")
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame([ev(1, 1, 0), ev(2, 1, 20)], schema) \
+        .coalesce(1).write.parquet(src)
+
+    out = str(tmp_path / "late_out")
+
+    def run_once():
+        q = (
+            ingest.sessionize_stream(
+                ingest.stream_events(spark, src), gap="30 minutes",
+                watermark="2 hours",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 1: open session (0..20), nothing emitted
+
+    # batch 2: late event at 5min (within the 2h watermark), then 45min,
+    # plus a far-future event that advances the watermark so the session
+    # flushes via EventTimeTimeout
+    spark.createDataFrame(
+        [ev(3, 1, 5), ev(4, 1, 45), ev(99, 99, 60 * 48)], schema
+    ).coalesce(1).write.parquet(src, mode="append")
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    u1 = got[got["user_id"] == 1]
+    assert len(u1) == 1, f"session wrongly split: {u1}"
+    r = u1.iloc[0]
+    assert r["session_start"] == pd.Timestamp(base)
+    assert r["session_end"] == pd.Timestamp(base + dt.timedelta(minutes=45))
+    assert r["n_events"] == 4
