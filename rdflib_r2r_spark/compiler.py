@@ -45,7 +45,7 @@ from rdflib_r2r_spark.mapping import (
     TriplesMap,
     xsd_for_spark_type,
 )
-from rdflib_r2r_spark.templates import template_to_column
+from rdflib_r2r_spark.templates import template_to_column, template_to_spark_expr
 
 TRIPLE_COLS = ["subj", "pred", "obj", "obj_dt", "obj_lang", "graph"]
 
@@ -99,11 +99,18 @@ class SparkMappingCompiler:
         position: str,
         resolve,
         schema_types: dict,
+        sql_qualify=None,
     ) -> tuple[Column, Column, Column]:
         """(lexical, datatype, language) Columns for one term map.
 
         Mirrors the constant/column/template dispatch of
         ``match_node_to_term_map`` (reference: rdflib_r2r/sql_converter.py:81-176).
+
+        ``sql_qualify(colname) -> str`` (optional) enables the one-Py4J-call
+        template fast path (templates.template_to_spark_expr): callers whose
+        source columns are SQL-addressable (aliased scans) pass it so a
+        template render costs one ``F.expr`` parse instead of ~100 gateway
+        round trips.  Semantics are identical (parity-pinned).
         """
         from pyspark.sql import types as T
 
@@ -114,6 +121,15 @@ class SparkMappingCompiler:
             if isinstance(schema_types.get(c), T.BinaryType):
                 return F.hex(col)  # natural RDF lexical of binary (xsd:hexBinary)
             return col
+
+        raw_qualify = sql_qualify
+
+        if raw_qualify is not None:
+            def sql_qualify(c):  # noqa: F811 - same hex wrapper, SQL flavor
+                s = raw_qualify(c)
+                if isinstance(schema_types.get(c), T.BinaryType):
+                    return f"hex({s})"
+                return s
 
         ttype = tm.inferred_term_type(position)
         dt = F.lit(tm.datatype).cast("string") if tm.datatype else _null_str()
@@ -156,15 +172,21 @@ class SparkMappingCompiler:
             return col.cast("string"), dt, lang
 
         if tm.template is not None:
+            if sql_qualify is not None:
+                render = lambda iri, wrap: template_to_spark_expr(  # noqa: E731
+                    tm.template, sql_qualify, iri=iri, wrap=wrap)
+            else:
+                render = lambda iri, wrap: template_to_column(  # noqa: E731
+                    tm.template, resolve, iri=iri, wrap=wrap)
             if ttype == "IRI":
-                return template_to_column(tm.template, resolve, iri=True, wrap=True), _null_str(), _null_str()
+                return render(True, True), _null_str(), _null_str()
             if ttype == "BlankNode":
                 return (
-                    F.concat(F.lit("_:"), template_to_column(tm.template, resolve, iri=True, wrap=False)),
+                    F.concat(F.lit("_:"), render(True, False)),
                     _null_str(),
                     _null_str(),
                 )
-            return template_to_column(tm.template, resolve, iri=False, wrap=False), dt, lang
+            return render(False, False), dt, lang
 
         raise MappingError(f"term map has no constant/column/template: {tm}")
 

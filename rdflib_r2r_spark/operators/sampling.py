@@ -51,6 +51,95 @@ def mixture_sample(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def mixture_sample_tokens(docs: DataFrame, token_budgets: dict[str, float],
+                          default_budget: float = 0.0,
+                          stratum_col: str = "lang", key_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """(key, stratum, n_subword_tokens, draw, keep): mixture sampling whose
+    per-stratum target is a TOKEN budget in REAL subword-token units (the
+    committed-vocab tokenizer, operators/tokenize.py), not a doc rate —
+    how production mixes are actually specified.
+
+    Selection is deterministic priority sampling: within each stratum,
+    docs are taken in ascending md5-draw order until the running token
+    total reaches the budget; the doc that crosses the line is kept (so
+    every stratum with a positive budget and any docs keeps >= 1 doc and
+    overshoots by < 1 doc).  Re-running on the same corpus reproduces the
+    same kept-set: the order is (draw, key), a pure row function.
+
+    Scale: one shuffle to the per-stratum running-sum window.  A stratum
+    at 100 TB is a single window partition — there, replace the exact
+    window with a two-pass draw-threshold estimate (bucket draws into B
+    histogram bins, sum tokens per bin, pick the bin where the cumulative
+    crosses the budget driver-side, then filter draw < threshold): same
+    semantics within budget/B error, fully parallel.  The exact window is
+    the reference implementation and the oracle twin.
+    """
+    from pyspark.sql import Window
+
+    from rdflib_r2r_spark.operators.tokenize import token_stats
+
+    budget = F.lit(float(default_budget))
+    for k, v in sorted(token_budgets.items()):
+        budget = F.when(F.col("stratum") == k, F.lit(float(v))).otherwise(budget)
+    toks = token_stats(docs, text_col=text_col, key_col=key_col).select(
+        key_col, "n_subword_tokens")
+    d = docs.select(key_col, F.col(stratum_col).alias("stratum")) \
+        .join(toks, key_col)
+    draw = draw_col(F.col(key_col))
+    w = (Window.partitionBy("stratum")
+         .orderBy("draw", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        d.select(
+            key_col, "stratum", "n_subword_tokens",
+            F.round(draw, 6).alias("draw"),
+            budget.alias("_budget"),
+        )
+        .withColumn("_cum", F.sum("n_subword_tokens").over(w))
+        .select(
+            key_col, "stratum", "n_subword_tokens", "draw",
+            ((F.col("_cum") - F.col("n_subword_tokens"))
+             < F.col("_budget")).alias("keep"),
+        )
+    )
+
+
+def mixture_sample_tokens_sql(token_budgets: dict[str, float],
+                              default_budget: float = 0.0,
+                              table: str = "documents",
+                              stratum_col: str = "lang",
+                              key_col: str = "doc_id",
+                              text_col: str = "text") -> str:
+    from rdflib_r2r_spark.operators.tokenize import tokenize_ctes
+
+    draw = (
+        f"CAST(('0x' || substring(md5(CAST(d.{key_col} AS VARCHAR)), 1, 8))"
+        f"::UBIGINT AS DOUBLE) / {_SCALE!r}"
+    )
+    whens = " ".join(
+        f"WHEN d.{stratum_col} = '{k}' THEN {float(v)!r}"
+        for k, v in sorted(token_budgets.items())
+    )
+    budget = f"CASE {whens} ELSE {float(default_budget)!r} END"
+    return f"""
+WITH RECURSIVE {tokenize_ctes(table, text_col, key_col)},
+mx AS (
+  SELECT d.{key_col} AS {key_col}, d.{stratum_col} AS stratum,
+         CAST(len(t.token_ids) AS BIGINT) AS n_subword_tokens,
+         round({draw}, 6) AS draw,
+         {budget} AS budget
+  FROM {table} d JOIN tok_per_doc t ON t.doc_id = d.{key_col}
+)
+SELECT {key_col}, stratum, n_subword_tokens, draw,
+       (SUM(n_subword_tokens) OVER (
+            PARTITION BY stratum ORDER BY draw, {key_col}
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        - n_subword_tokens) < budget AS keep
+FROM mx
+"""
+
+
 def mixture_sample_sql(rates: dict[str, float], default_rate: float = 0.0,
                        table: str = "documents", stratum_col: str = "lang",
                        key_col: str = "doc_id") -> str:

@@ -404,8 +404,14 @@ class BGPCompiler:
         return lex.isNotNull()
 
     def _render(self, occ: Occurrence) -> tuple[Column, Column, Column]:
+        # slots are SQL-addressable aliased scans, so hand term_columns the
+        # sql_qualify fast path (template renders become one F.expr parse
+        # instead of ~100 Py4J round trips — bi4's compile was 2.1s, ~1.5s
+        # of it in these chains)
+        alias = occ.slot.alias
         return self.compiler.term_columns(
-            occ.tm, occ.position, lambda c: occ.slot.col(c), occ.slot.types
+            occ.tm, occ.position, lambda c: occ.slot.col(c), occ.slot.types,
+            sql_qualify=lambda c: f"`{alias}`.`" + c.replace("`", "``") + "`",
         )
 
     def _num_col(self, occ: Occurrence, lex: Column) -> Column:

@@ -92,6 +92,7 @@ class SparkR2RStore:
         self.init_ns = dict(init_ns or {})
         self.compiler = SparkMappingCompiler(spark, tables)
         self._dump: DataFrame | None = None
+        self._plan_cache: dict = {}
 
     # -- dump ---------------------------------------------------------------------
 
@@ -123,6 +124,26 @@ class SparkR2RStore:
         the 6-column triple schema. ``init_bindings`` pre-binds variables
         (the reference's initBindings injection, r2r_store.py:62-75) by
         joining a one-row VALUES relation onto the pattern."""
+        if not init_bindings:
+            # prepared-plan cache: compiling SPARQL to a DataFrame costs
+            # real driver time (BGP candidate enumeration + expression
+            # construction); DataFrames are immutable, so repeated query
+            # TEXT reuses the compiled plan exactly like a prepared
+            # statement.  Keyed on (text, extra namespaces); bindings
+            # mutate the AST, so bound queries skip the cache.
+            key = (sparql, tuple(sorted((init_ns or {}).items())))
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                return hit
+            out = self._query_uncached(sparql, init_ns)
+            if len(self._plan_cache) >= 64:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[key] = out
+            return out
+        return self._query_uncached(sparql, init_ns, init_bindings)
+
+    def _query_uncached(self, sparql: str, init_ns: dict[str, str] | None = None,
+                        init_bindings: dict[str, object] | None = None) -> DataFrame:
         q = self._parse(sparql, init_ns)
         if init_bindings:
             from rdflib_r2r_spark.sparql.ast_nodes import Join, Lit, ValuesPat, Var as AVar

@@ -98,6 +98,30 @@ def template_to_column(
     return F.concat(*exprs)
 
 
+def template_to_spark_expr(
+    template: str,
+    qualify,
+    iri: bool = True,
+    wrap: bool = True,
+) -> Column:
+    """Fast-path twin of :func:`template_to_column`: render the SAME
+    expression as one Spark-SQL text parsed by a single ``F.expr`` call.
+
+    Why: the Column-API construction is ~100 Py4J round trips per term
+    (one per replace/lit in the iri-safe chain), which made SPARQL query
+    COMPILE time rival execution time (bi4: ~2.1s compile, ~1.5s of it
+    in template renders).  ``F.expr`` ships the whole tree in one round
+    trip; the generated text is the engine-neutral dialect subset
+    (template_to_sql/iri_safe_sql) that both Spark and DuckDB parse, so
+    the expression semantics are byte-identical to the slow path (pinned
+    by tests).
+
+    ``qualify(colname) -> str`` must return a Spark-SQL expression string
+    for the source column (e.g. backtick-qualified ``alias.col``).
+    """
+    return F.expr(template_to_sql(template, qualify=qualify, iri=iri, wrap=wrap))
+
+
 def template_to_sql(
     template: str,
     qualify=lambda c: f'"{c}"',
@@ -108,10 +132,18 @@ def template_to_sql(
 
     Uses ``||`` concatenation, which propagates NULL like F.concat.
     """
+    def lit_sql(s: str) -> str:
+        # engine-neutral string literal: Spark C-escapes backslashes inside
+        # quotes, DuckDB does not — emit backslash as chr(92) so the same
+        # text parses identically in both (see iri_safe_sql)
+        parts = s.split("\\")
+        quoted = ["'" + p.replace("'", "''") + "'" for p in parts]
+        return " || chr(92) || ".join(quoted) if len(quoted) > 1 else quoted[0]
+
     exprs: list[str] = []
     for part in parse_template(template):
         if part.prefix:
-            exprs.append("'" + part.prefix.replace("'", "''") + "'")
+            exprs.append(lit_sql(part.prefix))
         if part.column:
             c = f"CAST({qualify(part.column)} AS STRING)"
             exprs.append(iri_safe_sql(c) if iri else c)

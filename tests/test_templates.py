@@ -68,3 +68,33 @@ def test_nt_term():
     assert terms.term_to_nt("hi", None, "en") == '"hi"@en'
     assert terms.term_to_nt("5", terms.XSD_INTEGER) == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
     assert terms.term_to_nt('say "hi"\n') == '"say \\"hi\\"\\n"'
+
+
+def test_template_spark_expr_fast_path_parity(spark):
+    # templates.template_to_spark_expr (one F.expr parse) must render the
+    # SAME bytes as the Column-API slow path, including percent-unsafe
+    # chars, quotes, and backslashes in both the column VALUES and the
+    # template PREFIX text
+    from pyspark.sql import functions as F
+
+    from rdflib_r2r_spark.templates import (
+        template_to_column, template_to_spark_expr)
+
+    df = spark.createDataFrame(
+        [("a b/c", 1), ("x'y\"z", 2), ("back\\slash", 3), ("plain", 4),
+         (None, 5)],
+        "v string, k int",
+    ).alias("t")
+    cases = [
+        ("http://ex.org/{v}/{k}", True, True),
+        ("pre'fix\\x-{v}", False, False),
+        ("{k}-{v}", True, False),
+    ]
+    for tpl, iri, wrap in cases:
+        slow = template_to_column(tpl, lambda c: F.col(f"t.{c}"),
+                                  iri=iri, wrap=wrap)
+        fast = template_to_spark_expr(tpl, lambda c: f"`t`.`{c}`",
+                                      iri=iri, wrap=wrap)
+        rows = df.select(slow.alias("s"), fast.alias("f")).collect()
+        for r in rows:
+            assert r["s"] == r["f"], (tpl, r["s"], r["f"])
