@@ -145,6 +145,10 @@ def main() -> None:
         # round-5 curation operators (linear corpus scans; dedup_segments
         # is the 3-exchange segment dedup)
         "q_quality_filter", "q_repetition", "dedup_segments", "q_chunk_docs",
+        # round-6 operators: real subword tokenization (distinct-word
+        # mapInArrow kernel), char-bigram LM perplexity (explode +
+        # broadcast LM), per-source salted top-k
+        "q_tokenize", "q_perplexity", "q_source_cap",
     ]:
         timed(name, lambda n=name: qs[n](spark, sf_dir))
 

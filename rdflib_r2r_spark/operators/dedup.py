@@ -445,3 +445,80 @@ SELECT d.doc_id AS {key_col},
        coalesce(a.kept_fingerprint, md5('')) AS kept_fingerprint
 FROM d LEFT JOIN a USING (doc_id)
 """
+
+
+# -- incremental snapshot diff ----------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Crawl-refresh diff: compare two corpus snapshots by normalized-text
+    fingerprint and report, per fingerprint, whether the content was
+    ``added`` (new snapshot only), ``removed`` (old only), or ``retained``
+    — the bookkeeping an incremental ingestion run writes so downstream
+    training mixes only reprocess the added set.
+
+    Output: (fingerprint, status, old_n, new_n, old_min_key, new_min_key);
+    min keys give a stable exemplar doc on each side (NULL on the absent
+    side).
+
+    Scale: each side is one fingerprint groupBy with partial aggs, then a
+    single FULL OUTER shuffle join on the 32-char fingerprint — both sides
+    already aggregated, so the join input is one row per distinct content,
+    not per doc.  At 100 TB swap the md5 string for xxhash64 pairs to
+    shrink the exchange (same trade documented on segment_dedup).
+    """
+    def fps(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(F.concat_ws(" ", tokens_col(F.col(text_col))))
+        return (
+            df.select(F.col(key_col).alias("key"), fp.alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(
+                F.count("*").cast("bigint").alias(f"{side}_n"),
+                F.min("key").cast("bigint").alias(f"{side}_min_key"),
+            )
+        )
+
+    j = fps(old, "old").join(fps(new, "new"), "fingerprint", "full_outer")
+    status = (
+        F.when(F.col("old_n").isNull(), F.lit("added"))
+        .when(F.col("new_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("retained"))
+    )
+    return j.select(
+        "fingerprint",
+        status.alias("status"),
+        F.coalesce("old_n", F.lit(0)).alias("old_n"),
+        F.coalesce("new_n", F.lit(0)).alias("new_n"),
+        "old_min_key",
+        "new_min_key",
+    )
+
+
+def snapshot_diff_sql(table: str = "documents",
+                      old_where: str = "doc_id % 2 = 0",
+                      new_where: str = "doc_id % 3 != 0",
+                      text_col: str = "text", key_col: str = "doc_id") -> str:
+    toks = tokens_sql(text_col)
+    fp = f"md5(array_to_string({toks}, ' '))"
+    return f"""
+WITH o AS (
+  SELECT {fp} AS fingerprint, CAST(count(*) AS BIGINT) AS old_n,
+         CAST(min({key_col}) AS BIGINT) AS old_min_key
+  FROM {table} WHERE {old_where} GROUP BY 1
+),
+n AS (
+  SELECT {fp} AS fingerprint, CAST(count(*) AS BIGINT) AS new_n,
+         CAST(min({key_col}) AS BIGINT) AS new_min_key
+  FROM {table} WHERE {new_where} GROUP BY 1
+)
+SELECT coalesce(o.fingerprint, n.fingerprint) AS fingerprint,
+       CASE WHEN o.old_n IS NULL THEN 'added'
+            WHEN n.new_n IS NULL THEN 'removed'
+            ELSE 'retained' END AS status,
+       coalesce(o.old_n, 0) AS old_n,
+       coalesce(n.new_n, 0) AS new_n,
+       o.old_min_key AS old_min_key,
+       n.new_min_key AS new_min_key
+FROM o FULL OUTER JOIN n ON o.fingerprint = n.fingerprint
+"""

@@ -140,6 +140,66 @@ FROM mx
 """
 
 
+def source_cap(docs: DataFrame, k: int = 20, group_col: str = "source",
+               rank_col: str = "n_chars", key_col: str = "doc_id",
+               salt_buckets: int = 8) -> DataFrame:
+    """Per-domain quota sampling: keep the top-``k`` documents of each
+    ``group_col`` (domain/source) ranked by ``rank_col`` DESC with the key
+    as the deterministic tiebreak — the "domain balancing" cap every crawl
+    curation applies so a handful of mega-hosts cannot dominate the mix.
+
+    Scale: a naive ``row_number() OVER (PARTITION BY domain)`` ships EVERY
+    row of a domain to one task — a mega-host at 100 TB is a straggler.
+    This runs the standard two-stage salted top-k instead: stage 1 ranks
+    within (domain, salt) — ``salt_buckets`` bounded cells per domain — and
+    keeps k per cell; stage 2 ranks the <= k*salt_buckets survivors per
+    domain.  The global per-domain top-k is always a subset of the union
+    of per-salt top-ks, so semantics equal the single-window form (which
+    is the DuckDB oracle twin).
+
+    Output: (key, group, rank_col, rk) for kept rows only, rk in 1..k.
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(rank_col), F.asc(key_col)]
+    s1 = docs.select(
+        key_col, group_col, rank_col,
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)).alias("_salt"),
+    )
+    w1 = Window.partitionBy(group_col, "_salt").orderBy(*order)
+    s1 = s1.withColumn("_rn1", F.row_number().over(w1)).filter(F.col("_rn1") <= k)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        s1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select(
+            key_col,
+            group_col,
+            F.col(rank_col).cast("bigint").alias(rank_col),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def source_cap_sql(k: int = 20, table: str = "documents",
+                   group_col: str = "source", rank_col: str = "n_chars",
+                   key_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`source_cap` — the plain single-window form."""
+    return f"""
+SELECT {key_col}, {group_col},
+       CAST({rank_col} AS BIGINT) AS {rank_col},
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT {key_col}, {group_col}, {rank_col},
+         row_number() OVER (
+             PARTITION BY {group_col}
+             ORDER BY {rank_col} DESC, {key_col}) AS rk
+  FROM {table}
+)
+WHERE rk <= {k}
+"""
+
+
 def mixture_sample_sql(rates: dict[str, float], default_rate: float = 0.0,
                        table: str = "documents", stratum_col: str = "lang",
                        key_col: str = "doc_id") -> str:

