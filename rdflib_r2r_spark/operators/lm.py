@@ -96,6 +96,11 @@ def lm_score(
     b = nm.select(key_col, _bigrams_col(F.col("_s")).alias("_g"))
 
     train = b.filter(key % train_mod == 0)
+    # NOTE: a plain explode here relies on session.py excluding Catalyst's
+    # InferFiltersFromGenerate rule — with the rule on, the inferred
+    # `size(_g) > 0` filter pushes below the projection and re-evaluates
+    # the whole per-char transform + regex chain per row (measured 5x wall
+    # on this stage).  tests/test_plan_properties.py pins the plan.
     lm = (
         train.select(F.explode("_g").alias("g"))
         .groupBy("g")

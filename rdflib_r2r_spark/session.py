@@ -85,6 +85,21 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
         )
+        # InferFiltersFromGenerate adds `size(arr) > 0` under every
+        # non-outer explode and pushes it below the projection, INLINING
+        # the array expression into the filter — regex/tokenize/transform
+        # chains under an explode evaluate TWICE per input row (measured
+        # 5x wall on the char-bigram LM stage, 2x on tokenize). The
+        # alternative (explode_outer + isNotNull) single-evaluates but
+        # drops the Generate out of whole-stage codegen, which costs more
+        # on volume-heavy stages (LSH banding 1.5s -> 5.0s). Excluding the
+        # rule keeps inner-explode codegen AND single evaluation; the only
+        # thing lost is pre-filtering of empty-array rows, which every
+        # caller here either guards explicitly or doesn't care about.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

@@ -158,3 +158,27 @@ def test_source_cap_windows_are_partitioned(registry, spark):
 def test_tfidf_keywords_no_cartesian(registry, spark):
     plan = _plan(registry, spark, "q_tfidf_keywords")
     assert "CartesianProduct" not in plan
+
+
+def test_no_inferred_filter_recompute_under_explode(registry, spark):
+    # session.py excludes InferFiltersFromGenerate: with the rule on, a
+    # non-outer explode over a computed array gets a size(arr) > 0 filter
+    # pushed below its projection, re-evaluating the whole array expression
+    # (regex chains, transforms) once more per input row — measured 5x wall
+    # on the LM bigram stage. Pin: the optimized LM plan renders the norm
+    # regex chain a bounded number of times (train agg + ctx recompute +
+    # scoring side), with no extra filter-side copies.
+    import contextlib
+    import io
+
+    df = registry["q_perplexity"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    opt = plan.split("== Optimized Logical Plan ==")[1]
+    for line in opt.splitlines():
+        if "Filter" in line and "size(" in line and "regexp_replace" in line:
+            raise AssertionError(
+                "inferred size-filter recomputes the array chain:\n" + line
+            )
