@@ -58,12 +58,25 @@ class Vocab(NamedTuple):
     max_len: int
 
 
+def _vocab_text(path: str | None) -> str:
+    if path is not None:
+        return Path(path).read_text()
+    try:
+        return VOCAB_PATH.read_text()
+    except OSError:
+        # zipimported deployment (spark-submit --py-files dist zip): the
+        # data file is inside the archive, not on the filesystem
+        from importlib.resources import files
+
+        return (files("rdflib_r2r_spark") / "data" / "bpe_vocab.tsv").read_text()
+
+
 @lru_cache(maxsize=1)
 def load_vocab(path: str | None = None) -> Vocab:
     init: dict[str, int] = {}
     cont: dict[str, int] = {}
     max_len = 1
-    for line in Path(path or VOCAB_PATH).read_text().splitlines():
+    for line in _vocab_text(path).splitlines():
         tid, flag, piece = line.split("\t", 2)
         if int(tid) == UNK_ID:
             continue
