@@ -109,6 +109,12 @@ def main() -> None:
         for p in os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "4:16,8:32").split(",")
     ]
     levels = sorted({c for p in pairs for c in p})
+    if os.environ.get("SPARK_GRAFT_LEVEL_ORDER", "asc") == "desc":
+        # measurement order doesn't enter the math (each level is gated and
+        # probe-annotated independently); descending runs the fast,
+        # spike-sensitive 16/32 levels inside a fresh quiet window instead
+        # of spending it on the slow 4-core baseline first
+        levels = levels[::-1]
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
