@@ -55,8 +55,19 @@ TABLES = [
 ]
 
 
+# payload tables whose per-row work dwarfs their byte size: a single-row-
+# group parquet caps their scan at 1-2 partitions, so widen after read
+# (session.widen_scan is a guarded no-op on well-split inputs)
+_WIDEN_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _WIDEN_TABLES:
+        from rdflib_r2r_spark.session import widen_scan
+
+        df = widen_scan(df)
+    return df
 
 
 # long-lived store objects, as a real deployment holds them: SPARQL stores
@@ -332,9 +343,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kg_dump_pages"] = kg_dump_pages
 
     def kg_mentions(spark, sf):
+        # round 7: the pipeline's array-intersect fast path (guide §2.3 —
+        # no 100-tokens-per-doc posexplode blowup just to find ~0.3 matches
+        # per doc).  mention_entities emits the SAME distinct
+        # (url, entity_id) pair set detect_mentions + distinct produced, so
+        # the oracle hash is unchanged; pre_deduped skips the second
+        # distinct (urls are unique by construction in _pages_df).
         pages = _pages_df(spark, sf)
         adict = men.build_alias_dict(pages)
-        return men.mention_triples(men.detect_mentions(pages, adict))
+        return men.mention_triples(men.mention_entities(pages, adict),
+                                   pre_deduped=True)
 
     q["kg_mentions"] = kg_mentions
 

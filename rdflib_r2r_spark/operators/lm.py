@@ -20,12 +20,18 @@ derive ``bits_per_char = lp_e6_sum / n_bigrams / 1e6`` and
 ``ppl = 2 ** bits_per_char``.
 
 Scale: LM training is one explode + groupBy over the REFERENCE SLICE only
-(bounded: char-bigram vocabulary <= ~1.4k entries for the [a-z0-9 ]
-alphabet, regardless of corpus size); scoring is one explode + two
-BROADCAST joins (the LM and its context marginals are tiny) + a partial
-agg by doc_id.  Rows exploded = corpus characters — linear in corpus
-bytes, no all-pairs, no skew (gram keys are near-uniform after the
-broadcast join the shuffle key is doc_id).
+(bounded: char-bigram vocabulary <= 1369 entries for the [a-z0-9 ]
+alphabet, regardless of corpus size).  Scoring (round-7 rewrite, guide
+§2.4/§4.1) is a PER-ROW in-array aggregate: the trained LM is rendered —
+in Spark, with the exact same round/log2 expression, so the integers
+cannot drift — into a dense 1369-entry micro-bit cost table indexed by
+``37*code(c1)+code(c2)``, collected (alphabet-bounded, never
+corpus-sized) and inlined as an array literal; each document then sums
+``element_at(costs, gram_id+1)`` over its gram-id array.  No explode of
+the character stream, no joins, no groupBy(doc_id) — the score side has
+ZERO exchanges and is linear in corpus bytes.  (The previous shape —
+explode one row per character + two broadcast joins + re-agg by doc_id —
+was the round-6 bench outlier at 30s/sf1.0.)
 """
 
 from __future__ import annotations
@@ -61,15 +67,139 @@ def _norm_sql(expr: str) -> str:
     )
 
 
-def _bigrams_col(s: Column) -> Column:
-    # Spark sequence(1, 0) DESCENDS — guard short strings explicitly.
+def _code_col(ch: Column) -> Column:
+    """Alphabet code for one normalized char: ' '->0, '0'-'9'->1..10,
+    'a'-'z'->11..36.  Total over the normalized alphabet (``_norm_col``
+    strips everything else), so no fallback arm is needed."""
+    a = F.ascii(ch)
+    return F.when(a == 32, F.lit(0)).otherwise(
+        F.when(a <= 57, a - 47).otherwise(a - 86)
+    )
+
+
+def _gram_ids_col(codes: Column, n: Column) -> Column:
+    """Dense bigram ids ``37*code(c1)+code(c2)`` from a PRE-MATERIALIZED
+    char-code array column (and its length).  ``codes`` must be an
+    attribute reference, never the transform expression itself — array
+    lambdas get no CSE, so an inline expression would re-run the whole
+    split+code pass once per ``element_at`` (O(n^2) per doc).
+    Spark sequence(1, 0) DESCENDS — guard short strings explicitly."""
     return F.when(
-        F.length(s) >= 2,
+        n >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.length(s) - 1),
-            lambda i: s.substr(i, F.lit(2)),
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(codes, i) * N_CODES
+            + F.element_at(codes, i + 1),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<int>"))
+
+
+N_CODES = 37  # |alphabet| — gram-id space is N_CODES * N_CODES
+
+
+def _char_code_lut():
+    """numpy byte->code LUT twin of :func:`_code_col` (normalized strings
+    are pure ASCII, so byte positions == char positions)."""
+    import numpy as np
+
+    lut = np.zeros(256, dtype=np.int64)
+    for b in range(48, 58):
+        lut[b] = b - 47
+    for b in range(97, 123):
+        lut[b] = b - 86
+    return lut
+
+
+def _string_spans(arr):
+    """(offsets, data) numpy views over a pyarrow string array's buffers.
+    Null rows have zero-length spans (offset pairs are equal), which is
+    exactly the JVM when-guard semantics (NULL text -> 0 bigrams)."""
+    import numpy as np
+    import pyarrow as pa
+
+    odt = "int64" if pa.types.is_large_string(arr.type) else "int32"
+    offsets = np.frombuffer(arr.buffers()[1], dtype=odt)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype("int64")
+    dbuf = arr.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.zeros(0, dtype=np.uint8))
+    return offsets, data
+
+
+def _pair_ids_and_bounds(arr):
+    """Per-byte-pair gram ids over the whole data buffer plus the row
+    spans; cross-row pairs are identified by position (ends-1)."""
+    import numpy as np
+
+    offsets, data = _string_spans(arr)
+    lut = _char_code_lut()
+    codes = lut[data]
+    ids = codes[:-1] * N_CODES + codes[1:] if len(data) >= 2 else codes[:0]
+    return ids, offsets
+
+
+def _count_kernel():
+    """mapInArrow train kernel: normalized-string batches -> (gid, c)
+    partial gram counts (<= 1369 rows per TASK — emitted once after the
+    batch loop, so the downstream groupBy sums tiny partials)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        total = np.zeros(N_CODES * N_CODES, dtype=np.int64)
+        for b in batches:
+            ids, offsets = _pair_ids_and_bounds(b.column(0))
+            if len(ids) == 0:
+                continue
+            lo, hi = int(offsets[0]), int(offsets[-1])
+            valid = np.zeros(len(ids), dtype=bool)
+            if hi - lo >= 2:
+                valid[lo : hi - 1] = True
+            bad = offsets[1:] - 1
+            bad = bad[(bad >= 0) & (bad < len(ids))]
+            valid[bad] = False
+            total += np.bincount(ids[valid], minlength=N_CODES * N_CODES)
+        nz = np.nonzero(total)[0]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nz.astype("int32")), pa.array(total[nz])], ["gid", "c"]
+        )
+
+    return fn
+
+
+def _score_kernel(costs):
+    """mapInArrow score kernel: (key, normalized string) batches ->
+    (key, n_bigrams, lp_e6_sum).  Exact int64 sums of the Spark-rendered
+    cost integers via a cumulative-sum difference per row span."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        costs_np = np.asarray(costs, dtype=np.int64)
+        for b in batches:
+            ids, offsets = _pair_ids_and_bounds(b.column(1))
+            cs = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(costs_np[ids], out=cs[1:])
+            starts, ends = offsets[:-1], offsets[1:]
+            lens = ends - starts
+            big = lens >= 2
+            top = len(cs) - 1
+            lp = np.where(
+                big,
+                cs[np.minimum(np.maximum(ends - 1, 0), top)]
+                - cs[np.minimum(starts, top)],
+                0,
+            )
+            nbig = np.where(big, lens - 1, 0)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(nbig), pa.array(lp)],
+                ["k", "n_bigrams", "lp_e6_sum"],
+            )
+
+    return fn
 
 
 def lm_score(
@@ -87,40 +217,70 @@ def lm_score(
     cost in micro-bits), ``ppl_keep`` (bool — average cost within
     ``thresh_bits_e6`` micro-bits/char).  Smoothing is add-one over the
     fixed V_CHARS alphabet: P(c2|c1) = (cnt(c1c2)+1) / (cnt(c1·)+V).
+
+    Execution shape (round 7): train over the reference slice (explode of
+    INT gram ids + groupBy — partial aggs collapse to <=1369 keys per
+    partition), render the dense cost table IN SPARK with the identical
+    round/log2 expression (so the micro-bit integers are bit-identical to
+    the round-6 join formulation), collect its 1369 rows, and score each
+    doc with a per-row array aggregate over an inlined literal cost table
+    — no explode, no join, no shuffle on the scoring side.
     """
     key = F.col(key_col)
     # materialize the normalized string before the array lambda: Spark does
     # no CSE inside lambdas, so an inline expr would re-run the regex chain
     # once per character.
     nm = docs.select(key.alias(key_col), _norm_col(F.col(text_col)).alias("_s"))
-    b = nm.select(key_col, _bigrams_col(F.col("_s")).alias("_g"))
+    import os
 
-    train = b.filter(key % train_mod == 0)
-    # NOTE: a plain explode here relies on session.py excluding Catalyst's
-    # InferFiltersFromGenerate rule — with the rule on, the inferred
-    # `size(_g) > 0` filter pushes below the projection and re-evaluates
-    # the whole per-char transform + regex chain per row (measured 5x wall
-    # on this stage).  tests/test_plan_properties.py pins the plan.
-    lm = (
-        train.select(F.explode("_g").alias("g"))
-        .groupBy("g")
-        .agg(F.count("*").cast("bigint").alias("_c"))
-    )
-    ctx = (
-        lm.groupBy(F.substring("g", 1, 1).alias("_c1"))
-        .agg(F.sum("_c").alias("_cc"))
-    )
+    kernel = os.environ.get("SPARK_GRAFT_LM_KERNEL", "arrow")
+    spark = docs.sparkSession
 
-    e = b.select(
-        key_col,
-        F.size("_g").cast("bigint").alias("n_bigrams"),
-        F.explode_outer("_g").alias("g"),
+    if kernel == "arrow":
+        # guide §4.2: batch the (single, pre-normalized) string column to a
+        # numpy kernel — per-task partial counts, <= 1369 rows shuffled
+        lm = (
+            nm.filter(key % train_mod == 0).select("_s")
+            .mapInArrow(_count_kernel(), "gid int, c long")
+            .groupBy("gid")
+            .agg(F.sum("c").cast("bigint").alias("_c"))
+        )
+    else:
+        cd = nm.filter(key % train_mod == 0).select(
+            key_col,
+            F.length("_s").alias("_n"),
+            F.transform(F.split("_s", ""), _code_col).alias("_c"),
+        )
+        b_train = cd.select(
+            key_col, _gram_ids_col(F.col("_c"), F.col("_n")).alias("_g")
+        )
+        # NOTE: a plain explode here relies on session.py excluding
+        # Catalyst's InferFiltersFromGenerate rule — with the rule on, the
+        # inferred `size(_g) > 0` filter pushes below the projection and
+        # re-evaluates the whole per-char transform + regex chain per row.
+        lm = (
+            b_train.select(F.explode("_g").alias("gid"))
+            .groupBy("gid")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+        )
+    # dense cost table over the full gram-id space, rendered with the SAME
+    # round/log2 expression the round-6 scorer evaluated per occurrence:
+    # micro-bit cost is > 0 always (cc >= c, so cc + V > c + 1), HALF_UP
+    # (Spark) == half-away (DuckDB).  The LM is alphabet-bounded (<= 1369
+    # rows, never corpus-sized), so collecting it is a broadcast-sized
+    # transfer; the context marginals are exact INTEGER sums, so summing
+    # them driver-side is bit-identical to the former groupBy.  The
+    # rounding itself stays in Spark (LocalTableScan — no exchange) so the
+    # cost integers cannot drift from the round-6 formulation.
+    cnt = {int(r["gid"]): int(r["_c"]) for r in lm.collect()}
+    ctx: dict[int, int] = {}
+    for gid, c in cnt.items():
+        ctx[gid // N_CODES] = ctx.get(gid // N_CODES, 0) + c
+    tbl = spark.createDataFrame(
+        [(gid, cnt.get(gid, 0), ctx.get(gid // N_CODES, 0))
+         for gid in range(N_CODES * N_CODES)],
+        "gid int, _c long, _cc long",
     )
-    j = e.join(F.broadcast(lm), "g", "left").join(
-        F.broadcast(ctx), F.substring(F.col("g"), 1, 1) == F.col("_c1"), "left"
-    )
-    # micro-bit cost per gram occurrence; > 0 always (cc >= c, so
-    # cc + V > c + 1), so HALF_UP (Spark) == half-away (DuckDB).
     lp_e6 = F.round(
         F.lit(1e6)
         * (
@@ -128,15 +288,44 @@ def lm_score(
             - F.log2((F.coalesce(F.col("_c"), F.lit(0)) + 1).cast("double"))
         )
     ).cast("bigint")
-    out = (
-        j.groupBy(key_col, "n_bigrams")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("g").isNotNull(), lp_e6)), F.lit(0)
-            ).alias("lp_e6_sum")
+    table = {int(r["gid"]): int(r["_lp"])
+             for r in tbl.select("gid", lp_e6.alias("_lp")).collect()}
+    cost_list = [table[gid] for gid in range(N_CODES * N_CODES)]
+
+    if kernel == "arrow":
+        key_t = docs.schema[key_col].dataType.simpleString()
+        scored = (
+            nm.select(key_col, "_s")
+            .mapInArrow(
+                _score_kernel(cost_list),
+                f"k {key_t}, n_bigrams bigint, lp_e6_sum bigint",
+            )
+            .select(F.col("k").alias(key_col), "n_bigrams", "lp_e6_sum")
         )
-    )
-    return out.select(
+    else:
+        costs = F.array(*[F.lit(v) for v in cost_list])
+        cd = nm.select(
+            key_col,
+            F.length("_s").alias("_n"),
+            F.transform(F.split("_s", ""), _code_col).alias("_c"),
+        )
+        b = cd.select(
+            key_col, _gram_ids_col(F.col("_c"), F.col("_n")).alias("_g")
+        )
+        score = F.aggregate(
+            F.col("_g"),
+            F.lit(0).cast("bigint"),
+            lambda acc, g: acc + F.element_at(costs, g + 1),
+        )
+        # materialize the aggregate once — referencing it from both
+        # lp_e6_sum and ppl_keep in one select would evaluate the array
+        # pass twice
+        scored = b.select(
+            key_col,
+            F.size("_g").cast("bigint").alias("n_bigrams"),
+            score.alias("lp_e6_sum"),
+        )
+    return scored.select(
         key_col,
         "n_bigrams",
         "lp_e6_sum",

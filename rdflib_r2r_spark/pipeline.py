@@ -221,8 +221,12 @@ class KGPipeline:
             return {n: f.result() for n, f in futs.items()}
 
     def run(self) -> DataFrame:
+        from rdflib_r2r_spark.session import widen_scan
+
         spark = self.spark
-        docs = spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+        docs = widen_scan(
+            spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
+        )
 
         pages = self.stage("pages", [], lambda: pg.pages_from_documents(docs))
 

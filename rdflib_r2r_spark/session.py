@@ -105,3 +105,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def widen_scan(df):
+    """Guide §2.5 ("input skew: one huge unsplittable file ... repartition
+    immediately after the read"): the sandbox corpus parquet is written as
+    a SINGLE row group, so the file scan yields 1-2 partitions no matter
+    what ``maxPartitionBytes`` says, and every per-row text stage runs on
+    1-2 of the session's cores.  Round-robin repartition right after the
+    read — but ONLY when the scan is narrower than the session's default
+    parallelism, so on a cluster reading well-split 100 TB inputs this is
+    a no-op (the guard is derived from the runtime, not a tuned constant).
+    The exchange moves corpus bytes once; the starved stages it unblocks
+    cost 10-100x more CPU per byte than the move."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -47,13 +47,23 @@ def test_no_cartesian_product(registry, spark, name):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
 
 
-@pytest.mark.parametrize("name", ["q_tpch_q5", "bsbm_bi4", "kg_mentions"])
+@pytest.mark.parametrize("name", ["q_tpch_q5", "bsbm_bi4"])
 def test_dim_joins_are_broadcast(registry, spark, name):
-    # every dimension-side join (nation/region; BSBM product types; the
-    # alias dictionary) must be a broadcast hash join — a shuffled
-    # sort-merge join on a dim table wastes a corpus-wide exchange at scale
+    # every dimension-side join (nation/region; BSBM product types) must
+    # be a broadcast hash join — a shuffled sort-merge join on a dim
+    # table wastes a corpus-wide exchange at scale
     plan = _plan(registry, spark, name)
     assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast dim join"
+
+
+def test_kg_mentions_uses_inline_intersect_path(registry, spark):
+    # round 7: kg_mentions takes the pipeline's array-intersect fast path
+    # (mention_entities) — the bounded alias dict is inlined as a literal,
+    # so the plan must have NO per-token posexplode and NO join at all on
+    # the mention side (the alias-dict build keeps its aggregates)
+    plan = _plan(registry, spark, "kg_mentions")
+    assert "posexplode" not in plan, "kg_mentions re-grew the token explode"
+    assert "CartesianProduct" not in plan
 
 
 def test_subject_lookup_filter_pushdown(registry, spark):
@@ -98,10 +108,15 @@ NEW_OPS = ["q_quality_filter", "q_repetition", "q_pii_scrub",
 @pytest.mark.parametrize("name", NEW_OPS)
 def test_per_row_ops_have_no_exchange(registry, spark, name):
     # these curation operators are pure per-row column math (+ explode for
-    # chunking): ANY Exchange in the plan means a shuffle crept into a
-    # linear corpus scan
+    # chunking): any KEYED exchange in the plan means a shuffle crept into
+    # a linear corpus scan.  The single round-robin repartition right
+    # after the scan (session.widen_scan — the round-7 fix for the
+    # single-row-group corpus parquet capping scan parallelism at 1-2
+    # tasks) is allowed; it carries no key and exists only when the scan
+    # is narrower than the session's parallelism.
     plan = _plan(registry, spark, name)
-    assert "Exchange" not in plan, f"{name} plans a shuffle"
+    assert "hashpartitioning" not in plan, f"{name} plans a keyed shuffle"
+    assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -137,13 +152,16 @@ def test_segment_dedup_count_exchange_carries_hash_not_string(registry, spark):
     assert not any(k.strip() == "col" for k in keys), keys
 
 
-def test_lm_score_broadcasts_lm_tables(registry, spark):
-    # the char-bigram LM and its context marginals are alphabet-bounded
-    # (<= ~1.4k rows): both score-side joins must broadcast; a sort-merge
-    # join would shuffle the whole exploded character stream
+def test_lm_score_scoring_side_has_no_shuffle(registry, spark):
+    # round 7: scoring is a per-row kernel over the inlined cost table —
+    # the returned plan must have NO exchange, NO join, NO explode of the
+    # character stream (the former shape was explode + two broadcast
+    # joins + a groupBy(doc_id) re-agg)
     plan = _plan(registry, spark, "q_perplexity")
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
-    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan, plan[:2000]
+    assert "SinglePartition" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
 
 
 def test_source_cap_windows_are_partitioned(registry, spark):
