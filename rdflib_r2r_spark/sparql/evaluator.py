@@ -18,6 +18,8 @@ SQL SELECT list produces.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -100,6 +102,15 @@ class EV:
     boolean: Column | None = None
     native: Column | None = None    # preferred typed output
     kind: str = "term"              # term|num|str|bool
+    # round 7: "never" marks operands whose numeric view is STATICALLY
+    # NULL (string literals that do not parse as a number, IRI
+    # constants).  Catalyst does not fold the dead numeric arm of the
+    # numeric-or-lexical CASE (measured: it leaves a per-row try_cast
+    # string->double parse in the plan — 3.5s/arm on bsbm_bi3's date
+    # filters), so _cmp/_eq prune it at compile time instead.  The
+    # result is identical: with one side's num always NULL, the CASE
+    # condition is always false and the lexical branch always runs.
+    static_num: str = "maybe"       # maybe|never
 
     def as_num(self) -> Column:
         if self.num is not None:
@@ -167,6 +178,26 @@ class EV:
             return self.native
         assert self.lex is not None
         return self.lex
+
+
+# superset of every lexical form Spark's non-ANSI string->double cast
+# accepts (Java Double.parseDouble incl. hex floats and f/d suffixes, plus
+# Spark's special inf/nan spellings).  A literal that does NOT match can
+# never take the numeric branch of a comparison — used to set
+# EV.static_num="never" conservatively (false "maybe" keeps the old plan;
+# false "never" is impossible by construction of the superset).
+_MAYBE_NUMERIC_RE = re.compile(
+    r"""\s*[+-]?(
+        (?i:nan|inf(inity)?) |
+        ((\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[fFdD]?) |
+        (0[xX][0-9a-fA-F]*\.?[0-9a-fA-F]*([pP][+-]?\d+)?[fFdD]?)
+    )\s*$""",
+    re.VERBOSE,
+)
+
+
+def _never_numeric_value(value: str) -> bool:
+    return _MAYBE_NUMERIC_RE.fullmatch(value) is None
 
 
 def ev_num(c: Column) -> EV:
@@ -1140,10 +1171,12 @@ class Evaluator:
                 return ev_bool(F.lit(e.value == "true"))
             return EV(lex=F.lit(e.value), dt=F.lit(e.datatype).cast("string"),
                       lang=F.lit(e.language).cast("string"),
-                      native=F.lit(e.value), kind="str")
+                      native=F.lit(e.value), kind="str",
+                      static_num=("never" if _never_numeric_value(e.value)
+                                  else "maybe"))
         if isinstance(e, IRI):
             return EV(lex=F.lit(f"<{e.value}>"), kind="term",
-                      num=F.lit(None).cast("double"))
+                      num=F.lit(None).cast("double"), static_num="never")
         if isinstance(e, Op):
             return self._compile_op(e, bf, rj)
         if isinstance(e, Call):
@@ -1160,9 +1193,18 @@ class Evaluator:
             raise SparqlNotImplemented("EXISTS outside FILTER/BIND")
         raise SparqlNotImplemented(f"expression {e!r}")
 
+    @staticmethod
+    def _never_numeric(*evs: EV) -> bool:
+        # one statically-non-numeric side makes the numeric-or-lexical
+        # CASE's condition constant-false — the lexical branch IS the
+        # value (see EV.static_num)
+        return any(e.static_num == "never" for e in evs)
+
     def _eq(self, a: EV, b: EV) -> Column:
         if a.kind == "num" or b.kind == "num":
             return a.as_num() == b.as_num()
+        if self._never_numeric(a, b):
+            return a.as_lex() == b.as_lex()
         if a.kind == "term" and b.kind == "term":
             an, bn = a.as_num(), b.as_num()
             return F.when(an.isNotNull() & bn.isNotNull(), an == bn).otherwise(
@@ -1177,6 +1219,8 @@ class Evaluator:
         f = ops[op]
         if a.kind == "num" or b.kind == "num":
             return f(a.as_num(), b.as_num())
+        if self._never_numeric(a, b):
+            return f(a.as_lex(), b.as_lex())
         an, bn = a.as_num(), b.as_num()
         return F.when(an.isNotNull() & bn.isNotNull(), f(an, bn)).otherwise(
             f(a.as_lex(), b.as_lex())

@@ -23,7 +23,12 @@ from string import Formatter
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from rdflib_r2r_spark.terms import iri_safe_col, iri_safe_py, iri_safe_sql
+from rdflib_r2r_spark.terms import (
+    iri_safe_col,
+    iri_safe_py,
+    iri_safe_sql,
+    iri_safe_sql_spark,
+)
 
 
 @dataclass(frozen=True)
@@ -118,8 +123,16 @@ def template_to_spark_expr(
 
     ``qualify(colname) -> str`` must return a Spark-SQL expression string
     for the source column (e.g. backtick-qualified ``alias.col``).
+
+    Round 7: slots render via :func:`terms.iri_safe_sql_spark` — the
+    RLIKE-gated chain (29 string rebuilds per row -> one containment scan
+    for clean values).  The oracle side keeps the ungated
+    ``template_to_sql`` text (frozen); value parity is pinned by tests.
     """
-    return F.expr(template_to_sql(template, qualify=qualify, iri=iri, wrap=wrap))
+    return F.expr(
+        template_to_sql(template, qualify=qualify, iri=iri, wrap=wrap,
+                        _safe_fn=iri_safe_sql_spark)
+    )
 
 
 def template_to_sql(
@@ -127,11 +140,15 @@ def template_to_sql(
     qualify=lambda c: f'"{c}"',
     iri: bool = True,
     wrap: bool = True,
+    _safe_fn=None,
 ) -> str:
     """DuckDB-SQL twin of :func:`template_to_column` (same bytes).
 
     Uses ``||`` concatenation, which propagates NULL like F.concat.
+    Default text is the FROZEN oracle dialect; ``_safe_fn`` lets the
+    Spark fast path substitute the gated encoder (never reaches DuckDB).
     """
+    safe = _safe_fn or iri_safe_sql
     def lit_sql(s: str) -> str:
         # engine-neutral string literal: Spark C-escapes backslashes inside
         # quotes, DuckDB does not — emit backslash as chr(92) so the same
@@ -146,7 +163,7 @@ def template_to_sql(
             exprs.append(lit_sql(part.prefix))
         if part.column:
             c = f"CAST({qualify(part.column)} AS STRING)"
-            exprs.append(iri_safe_sql(c) if iri else c)
+            exprs.append(safe(c) if iri else c)
     if wrap and iri:
         exprs = ["'<'", *exprs, "'>'"]
     if not exprs:

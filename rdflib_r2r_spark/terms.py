@@ -60,25 +60,60 @@ def iri_unsafe_py(value: str) -> str:
     return urllib.parse.unquote(value)
 
 
+# Java-regex character class matching any char the chain would encode
+# (escape the class metacharacters; space is literal inside a class)
+_UNSAFE_CLASS = "[" + "".join(
+    ("\\" + c) if c in "\\]^[&{}" else c for c in _UNSAFE_ASCII
+) + "]"
+
+
 def iri_safe_col(col: Column) -> Column:
     """Spark Column twin: chain of literal string replaces (JVM-side,
-    codegen-able; no regex engine involved)."""
-    out = col.cast("string")
+    codegen-able; no regex engine involved).
+
+    Round 7 (guide §1.2 "per-task work"): the 29-replace chain re-scans
+    and re-allocates the string once per pair, per row — for template
+    slots over numeric keys (most subject IRIs) every pass is a no-op.
+    A single containment test gates the chain, so clean values (digits,
+    plain names) pay one regex scan instead of 29 string rebuilds; rows
+    that do contain an unsafe char take the identical chain.  NULL
+    propagates through both branches identically (rlike(NULL) is NULL ->
+    otherwise -> NULL, matching the chain's NULL-in/NULL-out)."""
+    s = col.cast("string")
+    out = s
     for ch, rep in PERCENT_PAIRS:
         out = F.replace(out, F.lit(ch), F.lit(rep))
-    return out
+    return F.when(s.rlike(_UNSAFE_CLASS), out).otherwise(s)
 
 
 def iri_safe_sql(expr: str) -> str:
     """SQL twin: nested replace() calls, same order. Emits the dialect
     subset BOTH DuckDB and Spark SQL parse (chr(92) instead of a backslash
     literal — Spark treats backslash as an escape inside string literals,
-    DuckDB does not)."""
+    DuckDB does not).  FROZEN TEXT: this renders into oracle_sql(), which
+    the driver fingerprints — value-level optimizations go into
+    :func:`iri_safe_sql_spark` instead."""
     out = f"CAST({expr} AS STRING)"
     for ch, rep in PERCENT_PAIRS:
         c = "chr(92)" if ch == "\\" else "'" + ch.replace("'", "''") + "'"
         out = f"replace({out}, {c}, '{rep}')"
     return out
+
+
+def iri_safe_sql_spark(expr: str) -> str:
+    """Spark-ONLY SQL text with the same row-gating as
+    :func:`iri_safe_col`: one RLIKE containment test skips the 29-replace
+    chain for values with nothing to encode (numeric template keys, plain
+    names).  Never parsed by DuckDB, so Spark escaping rules apply.
+    Value-identical to :func:`iri_safe_sql` (parity pinned by tests)."""
+    s = f"CAST({expr} AS STRING)"
+    out = s
+    for ch, rep in PERCENT_PAIRS:
+        c = "chr(92)" if ch == "\\" else "'" + ch.replace("'", "''") + "'"
+        out = f"replace({out}, {c}, '{rep}')"
+    # Spark single-quoted literal: backslash must be doubled, quote escaped
+    rx = _UNSAFE_CLASS.replace("\\", "\\\\").replace("'", "\\'")
+    return f"(CASE WHEN {s} RLIKE '{rx}' THEN {out} ELSE {s} END)"
 
 
 # ---------------------------------------------------------------------------
