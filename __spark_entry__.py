@@ -77,7 +77,10 @@ _STORE_CACHE: dict = {}
 
 
 def _cached_store(kind: str, spark, sf: str, build):
-    key = (kind, id(spark), sf)
+    # applicationId is never recycled across sessions (ADVICE r6: id(spark)
+    # could be reused after GC, handing a new session a store bound to a
+    # dead one)
+    key = (kind, spark.sparkContext.applicationId, sf)
     st = _STORE_CACHE.get(key)
     if st is None:
         st = build()
