@@ -137,6 +137,10 @@ def tokenize_docs(docs: DataFrame, text_col: str = "text",
     the reassembly groupBy is the only corpus exchange after the join.
     """
     vocab = load_vocab()
+    # outer explode keeps a sentinel row per wordless doc (a NULL-padded
+    # inner-explode variant that preserves Generate codegen was A/B'd at
+    # both SFs and is NOT faster — same-session min walls sf0.1 1.11 outer
+    # vs 1.30 padded, sf1.0 1.95 vs 1.93)
     words = docs.select(
         F.col(key_col),
         F.posexplode_outer(
