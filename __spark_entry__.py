@@ -1264,24 +1264,30 @@ MIXTURE_RATES = {"en": 0.9, "de": 0.5, "fr": 0.25, "zh": 0.1}
 MIXTURE_TOKEN_BUDGETS = {"en": 20000.0, "de": 4000.0, "fr": 1500.0, "zh": 300.0}
 
 DRIVER_WINDOW: list[str] = [
-    # ROUND-6 ROTATION (accumulating coverage): the 44 queries below are
-    # the exact complement of CORRECTNESS_r05's green set, so
-    # CORRECTNESS_r05 ∪ CORRECTNESS_r06 green rows = all registered
-    # queries (tests/test_driver_window.py asserts this union property
-    # against the committed JSON).  Positions 1-2 are the two queries no
-    # driver round has ever checked (round-5 verdict ask #2).
+    # ROUND-7 ROTATION (accumulating coverage): positions 1-3 are the
+    # NEXT_WINDOW_HEAD queries pinned by round 6 — the only oracle-paired
+    # queries never driver-checked (round-6 verdict ask #1); position 4
+    # re-enters kg_mentions, whose implementation round 7 switched to the
+    # array-intersect fast path (same distinct pair set — the driver row
+    # hard-verifies that).  Displaced to make room: mm_audio_meta,
+    # mm_frame_sample, q_datetime_funcs, q_string_funcs — all r6-green
+    # and untouched this round, so CORRECTNESS_r05 ∪ r06 ∪ the r07 window
+    # still covers every registered query
+    # (tests/test_driver_window.py asserts the union property).
+    "q_tfidf_keywords", "q_corpus_stats", "q_snapshot_diff",
+    "kg_mentions",
     "sparql_from_named", "q_url_dedup",
     "kg_subject_lookup", "q_transitive_closure", "q_filter_project",
     "q_join_inner", "q_left_join", "q_group_having", "q_exists_semijoin",
     "q_subquery_topn", "q_window_session", "q_json_extract", "q_rollup",
-    "q_pivot_case", "q_percentile", "q_datetime_funcs", "q_string_funcs",
+    "q_pivot_case", "q_percentile",
     "q_sample_hash", "q_construct", "sparql_star_filter", "sparql_union",
     "sparql_minus", "sparql_orderby_slice", "sparql_distinct",
     "sparql_values_join", "sparql_exists", "sparql_path_seq", "sparql_bind",
     "sparql_construct", "sparql_ask", "bsbm_explore1", "dedup_exact",
     "dedup_minhash_sig", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_clusters", "q_text_stats", "q_lang_id", "ann_cosine_topk",
-    "ann_ivf_topk", "mm_audio_meta", "mm_frame_sample",
+    "ann_ivf_topk",
     # r5-green but round-6-CHANGED outputs, so they need a fresh driver
     # check: banded multi-table SRP near-dup (verdict ask #5) and the
     # checksum-gated PII v2 columns (ask #7); q_url_dedup (valueless
@@ -1302,14 +1308,11 @@ DRIVER_WINDOW: list[str] = [
     "q_perplexity", "q_source_cap",
 ]
 
-# Registered after the window filled (50-slot structural cap): never yet
-# driver-checked, verified via scripts/check_contract.py this round, and
-# pinned by tests/test_driver_window.py to LEAD the round-7 window — the
-# same rotation protocol the round-5 verdict set for
-# sparql_from_named/q_url_dedup.
-NEXT_WINDOW_HEAD: list[str] = [
-    "q_tfidf_keywords", "q_corpus_stats", "q_snapshot_diff",
-]
+# Round 7 rotated the three previously-pinned queries into the window
+# head (see DRIVER_WINDOW comment); every oracle-paired query now has a
+# driver row in CORRECTNESS_r05 ∪ r06 ∪ the prospective r07 set, so
+# nothing is pinned for the next rotation.
+NEXT_WINDOW_HEAD: list[str] = []
 
 
 def _driver_window_order(q: dict) -> dict:

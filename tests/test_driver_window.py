@@ -27,21 +27,23 @@ def test_window_is_exactly_the_gate_size():
     assert names[:50] == entry.DRIVER_WINDOW
 
 
-def test_union_r5_r6_covers_all_registered():
-    # green(CORRECTNESS_r05) ∪ DRIVER_WINDOW (= the prospective r6 checked
-    # set) must cover every query registered at rotation time; queries
-    # added AFTER the window filled are allowed out only if they are
-    # pinned, exactly and exhaustively, in NEXT_WINDOW_HEAD (they lead the
-    # next rotation — same protocol round 5 used for sparql_from_named /
-    # q_url_dedup)
+def test_union_r5_r6_r7_covers_all_registered():
+    # green(CORRECTNESS_r05) ∪ green(CORRECTNESS_r06) ∪ DRIVER_WINDOW
+    # (= the prospective r7 checked set) must cover every registered
+    # query; anything left out must be pinned, exactly and exhaustively,
+    # in NEXT_WINDOW_HEAD for the next rotation (round 7 rotated the last
+    # three in, so the pin list is empty)
     import __spark_entry__ as entry
 
-    r5 = json.loads((REPO / "CORRECTNESS_r05.json").read_text())
-    green5 = {k for k, v in r5.items()
-              if v.get("rows_match") and v.get("schema_match")
-              and v.get("hash_match") is not False}
+    def green(path: str) -> set[str]:
+        d = json.loads((REPO / path).read_text())
+        return {k for k, v in d.items()
+                if v.get("rows_match") and v.get("schema_match")
+                and v.get("hash_match") is not False}
+
     names = set(_registry_names())
-    union = green5 | set(entry.DRIVER_WINDOW)
+    union = (green("CORRECTNESS_r05.json") | green("CORRECTNESS_r06.json")
+             | set(entry.DRIVER_WINDOW))
     missing = names - union
     assert missing == set(entry.NEXT_WINDOW_HEAD), (
         f"never-driver-checked queries not pinned for the next rotation: "
@@ -60,9 +62,15 @@ def test_next_window_head_is_oracle_paired_and_registered():
 
 
 def test_never_checked_queries_lead_the_window():
+    # round 7: the three queries no driver round had ever checked lead,
+    # then kg_mentions (implementation switched this round — the driver
+    # row re-verifies the fast path's pair-set equivalence)
     import __spark_entry__ as entry
 
-    assert entry.DRIVER_WINDOW[:2] == ["sparql_from_named", "q_url_dedup"]
+    assert entry.DRIVER_WINDOW[:4] == [
+        "q_tfidf_keywords", "q_corpus_stats", "q_snapshot_diff",
+        "kg_mentions",
+    ]
 
 
 def test_every_query_has_an_oracle_twin():
