@@ -61,12 +61,13 @@ TABLES = [
 _WIDEN_TABLES = {"documents", "embeddings"}
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _WIDEN_TABLES:
+def _t(spark: SparkSession, sf_dir: str, name: str, widen: bool = True) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if widen and name in _WIDEN_TABLES:
         from rdflib_r2r_spark.session import widen_scan
 
-        df = widen_scan(df)
+        df = widen_scan(df, cache_key=path)
     return df
 
 
@@ -1216,10 +1217,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_source_cap(spark, sf):
         # per-domain quota (domain balancing): top-20 docs per source by
         # (n_chars DESC, doc_id) via the two-stage salted top-k — the
-        # skew-safe form of the single-window oracle
+        # skew-safe form of the single-window oracle.
+        # widen=False (guide §2.4 "remove shuffles outright"): this query
+        # reads only three narrow metadata columns and its first real
+        # operator is a hash exchange on (source, salt), so the widen
+        # round-robin exchange parallelizes nothing — it is pure overhead
+        # here (measured +0.3s), while on well-split cluster inputs widen
+        # is a no-op anyway, so skipping it matches cluster behavior.
         from rdflib_r2r_spark.operators import sampling
 
-        return sampling.source_cap(_t(spark, sf, "documents"))
+        return sampling.source_cap(_t(spark, sf, "documents", widen=False))
 
     q["q_source_cap"] = q_source_cap
 

@@ -228,9 +228,8 @@ class KGPipeline:
         from rdflib_r2r_spark.session import widen_scan
 
         spark = self.spark
-        docs = widen_scan(
-            spark.read.parquet(os.path.join(self.sf_dir, "documents.parquet"))
-        )
+        docs_path = os.path.join(self.sf_dir, "documents.parquet")
+        docs = widen_scan(spark.read.parquet(docs_path), cache_key=docs_path)
 
         pages = self.stage("pages", [], lambda: pg.pages_from_documents(docs))
 

@@ -107,7 +107,16 @@ def get_spark(
     return spark
 
 
-def widen_scan(df):
+# (applicationId, defaultParallelism, caller key) -> bool.  The guard
+# probe (`df.rdd.getNumPartitions()`) costs a physical-planning pass plus
+# a Py4J round trip (measured 60-90 ms) PER CALL, and `_t()` pays it on
+# every read of a widen-eligible table even when the decision can never
+# change within a session (the inputs are static files).  Caching the
+# decision is purely a driver-overhead fix: the chosen plan is identical.
+_WIDEN_DECISION: dict = {}
+
+
+def widen_scan(df, cache_key: str | None = None):
     """Guide §2.5 ("input skew: one huge unsplittable file ... repartition
     immediately after the read"): the sandbox corpus parquet is written as
     a SINGLE row group, so the file scan yields 1-2 partitions no matter
@@ -117,9 +126,21 @@ def widen_scan(df):
     parallelism, so on a cluster reading well-split 100 TB inputs this is
     a no-op (the guard is derived from the runtime, not a tuned constant).
     The exchange moves corpus bytes once; the starved stages it unblocks
-    cost 10-100x more CPU per byte than the move."""
+    cost 10-100x more CPU per byte than the move.
+
+    ``cache_key`` (e.g. the parquet path) memoizes the narrow-scan probe
+    per (session, parallelism, key); pass it when the same static input is
+    read repeatedly in one session."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if cache_key is not None:
+        key = (spark.sparkContext.applicationId, target, cache_key)
+        dec = _WIDEN_DECISION.get(key)
+        if dec is None:
+            dec = df.rdd.getNumPartitions() < target
+            _WIDEN_DECISION[key] = dec
+    else:
+        dec = df.rdd.getNumPartitions() < target
+    if dec:
         return df.repartition(target)
     return df
