@@ -130,6 +130,35 @@ class Occurrence:
     position: str  # S/P/O/G
 
 
+@dataclass(frozen=True)
+class RawBinding:
+    """Raw-key provenance of a term variable: the variable's lexical is an
+    INJECTIVE render of the listed raw shadow columns (guide §2.3 "shuffle
+    keys and metadata instead of payloads").  Downstream algebra (GROUP BY,
+    frame-level joins) can key on the raws — 8-byte bigints — instead of
+    the rendered IRI string, and re-render AFTER the exchange; Catalyst
+    then prunes the per-row render entirely.  Two bindings with equal
+    ``prov`` render identically, so raw equality <=> lexical equality
+    (same template skeleton + same slot types; the injectivity argument is
+    the template-aware raw-key join bgp-internal equality already relies
+    on, restricted further to integral/single-column slots so renders
+    cannot collide across slot boundaries).
+
+    ``cols``   — the raw shadow column names present in the frame's df.
+    ``prov``   — hashable provenance key; equal prov => same render fn.
+    ``render`` — list of raw Columns (in ``cols`` order) ->
+                 (lex, dt, lang, num) Columns, byte-identical to the
+                 BGP-boundary render of the same raws.
+    """
+
+    cols: tuple
+    prov: tuple
+    render: object  # Callable[[list[Column]], tuple[Column, Column, Column, Column]]
+
+
+_RAW_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
 def _term_key(t) -> tuple:
     if isinstance(t, Var):
         return ("v", t.name)
@@ -465,9 +494,9 @@ class BGPCompiler:
         return True
 
     def compile_assignment(self, patterns: list, assignment: list[Arm],
-                           graph_term) -> DataFrame | None:
-        """One consistent assignment -> joined/filtered DataFrame, or None
-        if statically inconsistent."""
+                           graph_term) -> tuple[DataFrame, dict] | None:
+        """One consistent assignment -> (joined/filtered DataFrame, raw
+        bindings per variable), or None if statically inconsistent."""
         # slot keying merges stars AND parent slots with object-variable stars
         slots: dict[tuple, Slot] = {}
         occurrences: dict[str, list[Occurrence]] = {}
@@ -568,6 +597,7 @@ class BGPCompiler:
         # project variables (first occurrence; all are condition-equal)
         out_cols: list[Column] = []
         guards: list[Column] = []
+        raws: dict[str, RawBinding] = {}
         for name, occs in occurrences.items():
             occ = occs[0]
             lex, dt, lang = self._render(occ)
@@ -579,6 +609,11 @@ class BGPCompiler:
                     self._num_col(occ, lex).alias(f"{name}__num"),
                 ]
             )
+            rb = self._raw_binding(name, occ)
+            if rb is not None:
+                raw_cols, binding = rb
+                out_cols.extend(col.alias(rc) for rc, col in raw_cols)
+                raws[name] = binding
         # R2RML NULL guard: every term of every matched triple is non-NULL.
         # Guard on the RAW source columns, not the rendered lexical — a
         # render is NULL iff some referenced column is NULL (cast/template
@@ -596,11 +631,74 @@ class BGPCompiler:
         out = df
         for gcond in guards:
             out = out.filter(gcond)
-        return out.select(*out_cols)
+        return out.select(*out_cols), raws
+
+    def _raw_binding(
+        self, name: str, occ: Occurrence
+    ) -> tuple[list[tuple[str, Column]], RawBinding] | None:
+        """Raw-key provenance for one variable occurrence, or None when the
+        render is not provably injective from raw columns.
+
+        Eligible: IRI template whose slots are all integral columns, or a
+        single integral/string column.  Integral multi-slot renders are
+        injective for any template (a digit string absorbs '-' only as a
+        leading sign, so a fixed separator cannot migrate across slot
+        boundaries); string slots are percent-encoded (injective) but only
+        single-slot, because an unencoded separator character inside a
+        string value could otherwise alias the separator.  Floating-point
+        slots are excluded outright: grouping normalizes -0.0/NaN while
+        their rendered lexicals stay distinct.
+        """
+        tm, pos, slot = occ.tm, occ.position, occ.slot
+        if tm.template is None or tm.inferred_term_type(pos) != "IRI":
+            return None
+        all_slots = [p.column for p in parse_template(tm.template) if p.column]
+        cols = list(dict.fromkeys(all_slots))
+        # a repeated column would break the slot<->raw correspondence that
+        # prov-based pairing relies on (arity is part of the provenance)
+        if not cols or len(cols) != len(all_slots):
+            return None
+        types = [slot.types.get(c) for c in cols]
+        if len(cols) == 1:
+            ok = isinstance(types[0], _RAW_INTEGRAL + (T.StringType,))
+        else:
+            ok = all(isinstance(t, _RAW_INTEGRAL) for t in types)
+        if not ok:
+            return None
+        raw_names = tuple(f"{name}__raw{i}" for i in range(len(cols)))
+        # provenance keys on the template SKELETON (literal parts), not the
+        # full template: the render is lit0+enc(cast(raw0))+lit1+... — a
+        # function of the literals and slot types only, so two arms that
+        # render the same skeleton from different source columns (e.g.
+        # Product{p_partkey} vs Product{l_partkey}) are raw-comparable.
+        # This is templates_compatible's equivalence, narrowed to equal
+        # slot types.
+        skeleton = tuple(p.prefix for p in parse_template(tm.template))
+        prov = ("tmpl", skeleton, tuple(t.simpleString() for t in types))
+        types_by_name = dict(zip(cols, types))
+        compiler = self.compiler
+        tmpl_cols = tuple(cols)
+
+        def render(raw_cols: list) -> tuple[Column, Column, Column, Column]:
+            by = dict(zip(tmpl_cols, raw_cols))
+            lex, dt, lang = compiler.term_columns(
+                tm, pos, lambda c: by[c], types_by_name
+            )
+            return lex, dt, lang, F.lit(None).cast("double")
+
+        return (
+            [(rn, slot.col(c)) for rn, c in zip(raw_names, cols)],
+            RawBinding(cols=raw_names, prov=prov, render=render),
+        )
 
     def compile(self, patterns: list, graph_term=None,
-                dataset=None) -> tuple[DataFrame, set[str]]:
-        """All consistent assignments, UNION ALLed. Returns (df, var names)."""
+                dataset=None) -> tuple[DataFrame, set[str], dict]:
+        """All consistent assignments, UNION ALLed.
+
+        Returns (df, var names, raw bindings).  Raw bindings (see
+        :class:`RawBinding`) are only reported for a single-assignment BGP:
+        across a union of arms the same variable can be rendered from
+        different templates, so the raw columns would not be comparable."""
         var_names: set[str] = set()
         for s, p, o in patterns:
             for t in (s, p, o):
@@ -621,22 +719,39 @@ class BGPCompiler:
                 f"BGP has {n_assignments} arm assignments (> {MAX_ASSIGNMENTS})"
             )
 
-        parts: list[DataFrame] = []
+        parts: list[tuple[DataFrame, dict]] = []
         for assignment in itertools.product(*cand_lists):
             if len(assignment) != len(patterns):
                 continue
             if not self._statically_consistent(patterns, assignment):
                 continue  # pruned before any DataFrame work
-            df = self.compile_assignment(patterns, list(assignment), graph_term)
-            if df is not None:
-                parts.append(df)
+            res = self.compile_assignment(patterns, list(assignment), graph_term)
+            if res is not None:
+                parts.append(res)
 
         if not parts:
-            return self._empty(var_names), var_names
-        out = parts[0]
-        for p in parts[1:]:
+            return self._empty(var_names), var_names, {}
+        if len(parts) == 1:
+            df, raws = parts[0]
+            return df, var_names, raws
+        # multi-arm union: a variable keeps its raw shadows only when EVERY
+        # arm binds it with the same provenance (same skeleton + slot
+        # types) — the raw columns then line up by name and raw equality
+        # still implies lexical equality across arms; anything else drops
+        first_raws = parts[0][1]
+        keep: dict[str, RawBinding] = {
+            v: rb for v, rb in first_raws.items()
+            if all(v in r and r[v].prov == rb.prov for _, r in parts[1:])
+        }
+        dfs = []
+        for df, raws in parts:
+            raw_cols = [c for v, rb in raws.items() if v not in keep
+                        for c in rb.cols]
+            dfs.append(df.drop(*raw_cols) if raw_cols else df)
+        out = dfs[0]
+        for p in dfs[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
-        return out, var_names
+        return out, var_names, keep
 
     def _empty(self, var_names: set[str]) -> DataFrame:
         fields = []

@@ -76,6 +76,13 @@ class BindingFrame:
     # apply SPARQL compatibility (unbound matches anything) ONLY for these,
     # keeping the common always-bound path a plain hash-joinable equi-join.
     maybe_null: set[str] = dc_field(default_factory=set)
+    # var -> bgp.RawBinding: the var's lexical is an injective render of the
+    # raw shadow columns listed there (present in df).  GROUP BY and inner
+    # frame joins key on the raws (narrow, join-pushable) and re-render
+    # after the exchange; every operator that cannot prove preservation
+    # simply strips the raws (columns + metadata) — losing only the
+    # optimization, never correctness.
+    raw_vars: dict = dc_field(default_factory=dict)
 
     @property
     def all_vars(self) -> set[str]:
@@ -111,6 +118,11 @@ class EV:
     # result is identical: with one side's num always NULL, the CASE
     # condition is always false and the lexical branch always runs.
     static_num: str = "maybe"       # maybe|never
+    # raw-keyed term var (BindingFrame.raw_vars): equality against another
+    # EV with the SAME raw_prov compares the raw shadow columns instead of
+    # rendering both lexicals per row (raw eq <=> lex eq, injective render)
+    raw_cols: tuple | None = None
+    raw_prov: tuple | None = None
 
     def as_num(self) -> Column:
         if self.num is not None:
@@ -369,7 +381,8 @@ class Evaluator:
             if not sort_cols:
                 return frame
             return BindingFrame(frame.df.orderBy(*sort_cols), frame.term_vars,
-                                frame.native_vars, frame.maybe_null)
+                                frame.native_vars, frame.maybe_null,
+                                frame.raw_vars)
 
         if not (q.distinct or q.reduced):
             # ORDER BY may reference non-projected vars: sort BEFORE
@@ -381,6 +394,8 @@ class Evaluator:
         for name in proj_names:
             if name in bf.term_vars:
                 keep.extend(name + s for s in SHADOWS)
+                if name in bf.raw_vars:
+                    keep.extend(bf.raw_vars[name].cols)
             elif name in bf.native_vars:
                 keep.append(name)
             else:
@@ -394,20 +409,38 @@ class Evaluator:
             {v for v in proj_names if v in bf.term_vars},
             {v: k for v, k in bf.native_vars.items() if v in proj_names},
             {v for v in proj_names if v in bf.maybe_null or v not in bf.all_vars},
+            {v: rb for v, rb in bf.raw_vars.items() if v in proj_names},
         )
 
         if q.distinct or q.reduced:
             # SPARQL 18.2.5: Distinct applies to the projected multiset,
-            # ORDER/Slice run over the distinct solutions
-            out = BindingFrame(out.df.distinct(), out.term_vars, out.native_vars,
-                               out.maybe_null)
+            # ORDER/Slice run over the distinct solutions.  For raw-keyed
+            # vars the term shadows are exact functions of the raws
+            # (injective render, static dt/lang), so deduplicating on the
+            # raws + remaining columns yields the same multiset — the
+            # distinct exchange then carries bigints and the pre-distinct
+            # render is pruned; shadows are re-rendered per distinct row.
+            if out.raw_vars:
+                drop_cols = [v + s for v in out.raw_vars for s in SHADOWS]
+                ddf = out.df.drop(*drop_cols).distinct()
+                for v, rb in out.raw_vars.items():
+                    lex, dt, lang, num = rb.render([F.col(c) for c in rb.cols])
+                    ddf = (ddf.withColumn(v, lex)
+                              .withColumn(f"{v}__dt", dt)
+                              .withColumn(f"{v}__lang", lang)
+                              .withColumn(f"{v}__num", num))
+                out = BindingFrame(ddf, out.term_vars, out.native_vars,
+                                   out.maybe_null, out.raw_vars)
+            else:
+                out = BindingFrame(out.df.distinct(), out.term_vars,
+                                   out.native_vars, out.maybe_null)
             out = sort_frame(out)
         if q.offset:
             out = BindingFrame(out.df.offset(q.offset), out.term_vars,
-                               out.native_vars, out.maybe_null)
+                               out.native_vars, out.maybe_null, out.raw_vars)
         if q.limit is not None:
             out = BindingFrame(out.df.limit(q.limit), out.term_vars,
-                               out.native_vars, out.maybe_null)
+                               out.native_vars, out.maybe_null, out.raw_vars)
         return out
 
     # -- grouping / aggregation ---------------------------------------------------
@@ -464,12 +497,27 @@ class Evaluator:
 
         agg_cols = [self._compile_aggregate(c, bf).alias(n) for c, n in aggs.items()]
         key_cols: list[str] = []
+        # raw-keyed group vars: group on the narrow raw shadows (the lexical
+        # is an injective function of them, so the groups are identical) and
+        # re-render the term columns AFTER the aggregate — Catalyst prunes
+        # the per-row render and the exchange carries bigints, not IRIs
+        raw_keyed = [v for v in key_vars if v in bf.term_vars and v in bf.raw_vars]
         for v in key_vars:
-            key_cols.extend(bf.columns_for(v))
+            if v in raw_keyed:
+                key_cols.extend(bf.raw_vars[v].cols)
+            else:
+                key_cols.extend(bf.columns_for(v))
         if key_cols:
             gdf = bf.df.groupBy(*[F.col(c) for c in key_cols]).agg(*agg_cols)
         else:
             gdf = bf.df.agg(*agg_cols) if agg_cols else bf.df.limit(1)
+        for v in raw_keyed:
+            rb = bf.raw_vars[v]
+            lex, dt, lang, num = rb.render([F.col(c) for c in rb.cols])
+            gdf = (gdf.withColumn(v, lex)
+                      .withColumn(f"{v}__dt", dt)
+                      .withColumn(f"{v}__lang", lang)
+                      .withColumn(f"{v}__num", num))
 
         out = BindingFrame(
             gdf,
@@ -478,6 +526,7 @@ class Evaluator:
             # null keys group together; aggregates over empty/all-null input
             # (e.g. SUM of an OPTIONAL var) can come back NULL
             {v for v in key_vars if v in bf.maybe_null} | set(aggs.values()),
+            {v: bf.raw_vars[v] for v in raw_keyed},
         )
         for c, n in aggs.items():
             if c.name == "GROUP_CONCAT":
@@ -517,7 +566,8 @@ class Evaluator:
                 out = self._extend(out, v.name, rewrite(e))
         for h in q.having:
             hv = self.compile_expr(rewrite(h), out)
-            out = BindingFrame(out.df.filter(hv.as_bool()), out.term_vars, out.native_vars)
+            out = BindingFrame(out.df.filter(hv.as_bool()), out.term_vars,
+                               out.native_vars, raw_vars=out.raw_vars)
         q.order_by = [(rewrite(e), asc) for e, asc in q.order_by]
         # drop synthetic agg vars from the frame's visible set (they remain
         # as columns for ORDER BY)
@@ -533,6 +583,19 @@ class Evaluator:
         if name == "COUNT":
             if not c.args or c.args[0] == "*":
                 return F.count(F.lit(1))
+            # raw-keyed var: the lexical is null iff a raw shadow is null and
+            # distinct raws <=> distinct lexicals (injective render), so the
+            # count never needs the rendered IRI at all
+            if isinstance(c.args[0], Var) and c.args[0].name in bf.raw_vars:
+                rcols = [F.col(rc) for rc in bf.raw_vars[c.args[0].name].cols]
+                if c.distinct:
+                    return F.count_distinct(*rcols)
+                if len(rcols) == 1:
+                    return F.count(rcols[0])
+                nn = rcols[0].isNotNull()
+                for rc in rcols[1:]:
+                    nn = nn & rc.isNotNull()
+                return F.count(F.when(nn, F.lit(1)))
             ev = self.compile_expr(c.args[0], bf)
             col = ev.out_col()
             return F.countDistinct(col) if c.distinct else F.count(col)
@@ -662,9 +725,9 @@ class Evaluator:
                     raise SparqlNotImplemented(f"path {pred!r}")
             bfs: list[BindingFrame] = []
             if plain:
-                df, var_names = self.bgp.compile(plain, p.graph,
-                                                 dataset=self.dataset)
-                bfs.append(BindingFrame(df, var_names))
+                df, var_names, raws = self.bgp.compile(plain, p.graph,
+                                                       dataset=self.dataset)
+                bfs.append(BindingFrame(df, var_names, raw_vars=raws))
             for kind, s, pred, o in special:
                 if kind == "dump":
                     bfs.append(self._dump_pattern(s, pred, o, p.graph))
@@ -833,6 +896,17 @@ class Evaluator:
 
     # -- binary operators ------------------------------------------------------------
 
+    def _strip_raw(self, bf: BindingFrame, only: set | None = None) -> BindingFrame:
+        """Drop raw shadow columns + metadata (all vars, or just ``only``)."""
+        victims = set(bf.raw_vars) if only is None else set(bf.raw_vars) & only
+        if not victims:
+            return bf
+        cols = [c for v in victims for c in bf.raw_vars[v].cols]
+        return BindingFrame(
+            bf.df.drop(*cols), bf.term_vars, bf.native_vars, bf.maybe_null,
+            {v: rb for v, rb in bf.raw_vars.items() if v not in victims},
+        )
+
     def _join(self, a: BindingFrame, b: BindingFrame, how: str = "inner",
               filter_expr=None) -> BindingFrame:
         shared = a.all_vars & b.all_vars
@@ -840,21 +914,40 @@ class Evaluator:
         # vars that can actually be unbound (maybe_null) get the relaxed
         # condition — everything else stays a plain equi-join (hash-joinable).
         compat = {v for v in shared if v in a.maybe_null or v in b.maybe_null}
+        # raw shadows survive only the plain inner equi-join path; outer
+        # joins and compat vars pick sides per row, which raws do not model
+        if how != "inner":
+            a, b = self._strip_raw(a), self._strip_raw(b)
+        elif compat:
+            a, b = self._strip_raw(a, compat), self._strip_raw(b, compat)
         for v in compat:
             # normalize kind so both sides carry the 4-column term encoding
             if (v in a.term_vars) != (v in b.term_vars):
                 a = self._coerce_to_term(a, v)
                 b = self._coerce_to_term(b, v)
-        # rename ALL b columns to avoid ambiguity
+        # rename ALL b columns (raw shadows included) to avoid ambiguity
         ren = {}
         bdf = b.df
         for v in b.all_vars:
             for c in b.columns_for(v):
                 ren[c] = c + "__rj"
                 bdf = bdf.withColumnRenamed(c, c + "__rj")
+        for v, rb in b.raw_vars.items():
+            for c in rb.cols:
+                ren[c] = c + "__rj"
+                bdf = bdf.withColumnRenamed(c, c + "__rj")
         cond = F.lit(True)
         for v in shared:
-            if v in a.term_vars and v in b.term_vars:
+            if (
+                v in a.raw_vars and v in b.raw_vars
+                and a.raw_vars[v].prov == b.raw_vars[v].prov
+            ):
+                # equal provenance: raw equality <=> (lex, dt, lang)
+                # equality, and the join keys become narrow raw columns
+                eq = F.lit(True)
+                for ca, cb in zip(a.raw_vars[v].cols, b.raw_vars[v].cols):
+                    eq = eq & (F.col(ca) == F.col(cb + "__rj"))
+            elif v in a.term_vars and v in b.term_vars:
                 eq = (F.col(v) == F.col(v + "__rj")) \
                     & F.col(v + "__dt").eqNullSafe(F.col(v + "__dt__rj")) \
                     & F.col(v + "__lang").eqNullSafe(F.col(v + "__lang__rj"))
@@ -888,10 +981,19 @@ class Evaluator:
                     )
             else:
                 out_cols.extend(F.col(c) for c in a.columns_for(v))
+        for v, rb in a.raw_vars.items():
+            out_cols.extend(F.col(c) for c in rb.cols)
         for v in sorted(b.all_vars - a.all_vars):
             for c in b.columns_for(v):
                 out_cols.append(F.col(c + "__rj").alias(c))
+            if v in b.raw_vars:
+                for c in b.raw_vars[v].cols:
+                    out_cols.append(F.col(c + "__rj").alias(c))
         df = joined.select(*out_cols)
+        out_raws = dict(a.raw_vars)
+        for v, rb in b.raw_vars.items():
+            if v not in a.all_vars:
+                out_raws[v] = rb
         out_null = set()
         for v in a.all_vars | b.all_vars:
             if v in shared:
@@ -911,6 +1013,7 @@ class Evaluator:
             a.term_vars | b.term_vars,
             {**b.native_vars, **a.native_vars},
             out_null,
+            out_raws,
         )
 
     def _merged_frame_for_expr(self, a: BindingFrame, b: BindingFrame) -> BindingFrame:
@@ -920,6 +1023,8 @@ class Evaluator:
         return self._join(a, b, how="left_outer", filter_expr=expr)
 
     def _union(self, a: BindingFrame, b: BindingFrame) -> BindingFrame:
+        # raw shadows are not comparable across union branches
+        a, b = self._strip_raw(a), self._strip_raw(b)
         # coerce kind mismatches to term columns
         for v in a.all_vars & b.all_vars:
             if (v in a.term_vars) != (v in b.term_vars):
@@ -955,7 +1060,8 @@ class Evaluator:
         df = df.withColumn(f"{v}__lang", F.lit(None).cast("string"))
         df = df.withColumn(v, F.col(v).cast("string"))
         bf.term_vars.add(v)
-        return BindingFrame(df, bf.term_vars, bf.native_vars, bf.maybe_null)
+        return BindingFrame(df, bf.term_vars, bf.native_vars, bf.maybe_null,
+                            bf.raw_vars)
 
     def _minus(self, a: BindingFrame, b: BindingFrame) -> BindingFrame:
         shared = a.all_vars & b.all_vars
@@ -980,7 +1086,8 @@ class Evaluator:
             cond = cond & dom
         out = a.df.join(bdf.select(*[F.col(c + "__rj") for v in shared for c in [v]]).distinct(),
                         on=cond, how="left_anti")
-        return BindingFrame(out, a.term_vars, a.native_vars, a.maybe_null)
+        return BindingFrame(out, a.term_vars, a.native_vars, a.maybe_null,
+                            a.raw_vars)
 
     def _values(self, p: A.ValuesPat) -> BindingFrame:
         fields, term_vars = [], set()
@@ -1017,7 +1124,8 @@ class Evaluator:
         ev = self.compile_expr(expr, bf)
         out = bf.df.filter(ev.as_bool())
         return self._drop_markers(
-            BindingFrame(out, bf.term_vars, bf.native_vars, bf.maybe_null)
+            BindingFrame(out, bf.term_vars, bf.native_vars, bf.maybe_null,
+                         bf.raw_vars)
         )
 
     def _drop_markers(self, bf: BindingFrame) -> BindingFrame:
@@ -1029,6 +1137,7 @@ class Evaluator:
             bf.term_vars,
             {k: v for k, v in bf.native_vars.items() if k not in set(markers)},
             bf.maybe_null,
+            bf.raw_vars,
         )
 
     def _materialize_exists(self, bf: BindingFrame, expr):
@@ -1047,7 +1156,7 @@ class Evaluator:
                     flag = not inner.df.isEmpty()
                     bf = BindingFrame(bf.df.withColumn(marker, F.lit(flag)),
                                       bf.term_vars, {**bf.native_vars, marker: "bool"},
-                                      bf.maybe_null)
+                                      bf.maybe_null, bf.raw_vars)
                 else:
                     # SPARQL compatibility: an UNBOUND shared var on EITHER
                     # side is compatible with any binding of the other —
@@ -1057,11 +1166,34 @@ class Evaluator:
                         v for v in shared
                         if v in bf.maybe_null or v in inner.maybe_null
                     ]
-                    idf = inner.df.select(
-                        *[F.col(v).alias(v + "__exr") for v in shared]
-                    ).distinct().withColumn(marker, F.lit(True))
+                    # never-null shared vars with equal raw provenance on
+                    # both sides match on the raw shadows — the inner
+                    # side's per-row IRI render is then pruned entirely
+                    raw_ok = {
+                        v for v in shared
+                        if v not in nullable
+                        and v in bf.raw_vars and v in inner.raw_vars
+                        and bf.raw_vars[v].prov == inner.raw_vars[v].prov
+                    }
+                    sel, exr_cols = [], []
+                    for v in shared:
+                        if v in raw_ok:
+                            for c in inner.raw_vars[v].cols:
+                                sel.append(F.col(c).alias(c + "__exr"))
+                                exr_cols.append(c + "__exr")
+                        else:
+                            sel.append(F.col(v).alias(v + "__exr"))
+                            exr_cols.append(v + "__exr")
+                    idf = inner.df.select(*sel).distinct().withColumn(marker, F.lit(True))
                     cond = F.lit(True)
                     for v in shared:
+                        if v in raw_ok:
+                            eq = F.lit(True)
+                            for ca, cb in zip(bf.raw_vars[v].cols,
+                                              inner.raw_vars[v].cols):
+                                eq = eq & (F.col(ca) == F.col(cb + "__exr"))
+                            cond = cond & eq
+                            continue
                         eq = F.col(v) == F.col(v + "__exr")
                         if v in bf.maybe_null:
                             eq = F.col(v).isNull() | eq
@@ -1071,7 +1203,7 @@ class Evaluator:
                     if not nullable:
                         joined = (
                             bf.df.join(idf, on=cond, how="left_outer")
-                            .drop(*[v + "__exr" for v in shared])
+                            .drop(*exr_cols)
                             .withColumn(marker, F.coalesce(F.col(marker), F.lit(False)))
                         )
                     else:
@@ -1092,7 +1224,7 @@ class Evaluator:
                     bf = BindingFrame(
                         joined,
                         bf.term_vars, {**bf.native_vars, marker: "bool"},
-                        bf.maybe_null,
+                        bf.maybe_null, bf.raw_vars,
                     )
                 flag_col = Var(marker)
                 return Op("!", (flag_col,)) if e.negated else flag_col
@@ -1121,13 +1253,15 @@ class Evaluator:
             tv.add(name)
             # a BIND whose expression errors leaves the var unbound (NULL)
             return self._drop_markers(
-                BindingFrame(df, tv, bf.native_vars, bf.maybe_null | {name})
+                BindingFrame(df, tv, bf.native_vars, bf.maybe_null | {name},
+                             bf.raw_vars)
             )
         df = bf.df.withColumn(name, ev.out_col())
         nv = dict(bf.native_vars)
         nv[name] = ev.kind
         return self._drop_markers(
-            BindingFrame(df, bf.term_vars, nv, bf.maybe_null | {name})
+            BindingFrame(df, bf.term_vars, nv, bf.maybe_null | {name},
+                         bf.raw_vars)
         )
 
     # -- expression compiler ------------------------------------------------------------
@@ -1151,13 +1285,18 @@ class Evaluator:
                     return EV(boolean=c, native=c, kind="bool", lex=c.cast("string"))
                 return EV(lex=c.cast("string"), native=c, kind="str")
             if v in bf.term_vars:
-                return EV(
+                ev = EV(
                     lex=col_of(v),
                     num=col_of(v, "__num"),
                     dt=col_of(v, "__dt"),
                     lang=col_of(v, "__lang"),
                     kind="term",
                 )
+                if v in bf.raw_vars and v not in rj:
+                    rb = bf.raw_vars[v]
+                    ev.raw_cols = tuple(F.col(c) for c in rb.cols)
+                    ev.raw_prov = rb.prov
+                return ev
             # never-bound variable: NULL term (BOUND() -> false)
             null_s = F.lit(None).cast("string")
             return EV(lex=null_s, num=F.lit(None).cast("double"),
@@ -1200,7 +1339,27 @@ class Evaluator:
         # value (see EV.static_num)
         return any(e.static_num == "never" for e in evs)
 
+    @staticmethod
+    def _raw_eq(acols: tuple, bcols: tuple) -> Column:
+        """Componentwise raw equality with the lexical path's exact NULL
+        semantics: any NULL input makes the result NULL (a partially-null
+        raw tuple renders a NULL lexical, and NULL = x is NULL, never
+        false — plain AND-folding could yield false instead)."""
+        eq = None
+        for ca, cb in zip(acols, bcols):
+            e = ca == cb
+            eq = e if eq is None else eq & e
+        if len(acols) == 1:
+            return eq
+        nn = None
+        for c in list(acols) + list(bcols):
+            n = c.isNotNull()
+            nn = n if nn is None else nn & n
+        return F.when(nn, eq).otherwise(F.lit(None).cast("boolean"))
+
     def _eq(self, a: EV, b: EV) -> Column:
+        if a.raw_prov is not None and a.raw_prov == b.raw_prov:
+            return self._raw_eq(a.raw_cols, b.raw_cols)
         if a.kind == "num" or b.kind == "num":
             return a.as_num() == b.as_num()
         if self._never_numeric(a, b):
